@@ -1,0 +1,125 @@
+"""Training losses: global-batch contrastive with masking, MSE, straight-through.
+
+Rebuilds the reference's GradCache surrogate-gradient scheme
+(finetune_repconc.py:346-431) as pure function composition:
+
+The reference computes the contrastive loss on QUANTIZED doc embeds, then
+back-propagates the cached rep-gradients through BOTH the continuous path
+(encoder grads) and the quantized path (centroid grads) via two surrogate dot
+products (finetune_repconc.py:368-373). In JAX that is exactly the
+straight-through composition
+
+    doc_rep = decode(codes) + continuous - stop_grad(continuous)
+
+whose value equals decode(codes) and whose VJP routes the incoming gradient
+to the centroids (through decode) AND to the encoder (through continuous),
+each with the identical upstream gradient — no double counting.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF_MASK = 10000.0
+
+
+@jax.custom_vjp
+def straight_through(quantized: jnp.ndarray, continuous: jnp.ndarray) -> jnp.ndarray:
+    """value = quantized (bit-exact); gradient flows to both inputs.
+
+    custom_vjp instead of the classic `q + c - stop_grad(c)` so the forward
+    value is exactly the quantized embedding (no cancellation error)."""
+    return quantized
+
+
+def _st_fwd(quantized, continuous):
+    return quantized, None
+
+
+def _st_bwd(_, g):
+    return (g, g)
+
+
+straight_through.defvjp(_st_fwd, _st_bwd)
+
+
+def false_negative_mask(
+    qids: jnp.ndarray,
+    doc_ids: jnp.ndarray,
+    query_positives: jnp.ndarray,
+) -> jnp.ndarray:
+    """mask[i, j] = True if doc j is a judged positive of query i (and i != j).
+
+    query_positives: (B, P) padded array of positive docids per query
+    (pad with -1). Device-side equivalent of the reference's python loop over
+    qrels (finetune_repconc.py:433-440); the padded-positives array is built
+    by the host collator.
+    """
+    del qids  # identity is carried by query_positives' row order
+    # (B, 1, P) == (1, Bd, 1) -> any over P
+    eq = query_positives[:, None, :] == doc_ids[None, :, None]
+    valid = query_positives[:, None, :] >= 0
+    mask = jnp.any(eq & valid, axis=-1)
+    B = mask.shape[0]
+    diag = jnp.eye(B, mask.shape[1], dtype=bool)
+    return mask & ~diag
+
+
+def duplicate_negative_mask(qids: jnp.ndarray, doc_ids: jnp.ndarray) -> jnp.ndarray:
+    """Mask repeated docids so each doc scores once per query
+    (reference: finetune_repconc.py:442-451)."""
+    n = doc_ids.shape[0]
+    eq = doc_ids[:, None] == doc_ids[None, :]
+    upper = jnp.triu(eq, k=1)
+    dup = jnp.any(upper, axis=0)  # doc j duplicates an earlier doc
+    mask = jnp.broadcast_to(dup[None, :], (qids.shape[0], n))
+    diag = jnp.eye(qids.shape[0], n, dtype=bool)
+    return mask & ~diag
+
+
+def contrastive_loss(
+    query_embeds: jnp.ndarray,
+    doc_embeds: jnp.ndarray,
+    negative_mask: jnp.ndarray,
+    mcq_m: int,
+    metric_centroid_cos: bool = False,
+    temperature: float = 1.0,
+    dynamic_topk_hard_negative: Optional[int] = None,
+) -> jnp.ndarray:
+    """Cross-entropy over the global batch with diagonal labels.
+
+    query_embeds: (B, D); doc_embeds: (Bd, D) where Bd >= B and the first B
+    docs are the diagonal positives. negative_mask: (B, Bd) bool, True where
+    the similarity must be suppressed (false negatives / duplicates).
+    Reference: compute_contrastive_loss (finetune_repconc.py:398-431).
+    """
+    B, Bd = query_embeds.shape[0], doc_embeds.shape[0]
+    sims = jnp.einsum("qd,nd->qn", query_embeds, doc_embeds,
+                      preferred_element_type=jnp.float32)
+    if metric_centroid_cos:
+        sims = sims / mcq_m
+    if temperature != 1.0:
+        sims = sims / temperature
+    sims = sims - NEG_INF_MASK * negative_mask.astype(sims.dtype)
+
+    labels = jnp.arange(B)
+    if dynamic_topk_hard_negative is not None and dynamic_topk_hard_negative > 0:
+        # keep only [positive + top-k hardest negatives] per query
+        neg_sims = jax.lax.stop_gradient(sims)
+        col = jnp.arange(Bd)[None, :]
+        neg_sims = jnp.where(col == labels[:, None], -NEG_INF_MASK, neg_sims)
+        kth = jax.lax.top_k(neg_sims, dynamic_topk_hard_negative)[0][:, -1:]
+        keep = (neg_sims >= kth) | (col == labels[:, None])
+        sims = sims - NEG_INF_MASK * (~keep).astype(sims.dtype)
+
+    logz = jax.scipy.special.logsumexp(sims, axis=-1)
+    pos = jnp.take_along_axis(sims, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(logz - pos)
+
+
+def mse_loss(quantized: jnp.ndarray, continuous: jnp.ndarray) -> jnp.ndarray:
+    """Reconstruction MSE, summed over dims, averaged over batch
+    (reference: finetune_repconc.py:374)."""
+    return jnp.mean(jnp.sum((quantized - continuous) ** 2, axis=-1))

@@ -1,0 +1,128 @@
+"""Sinkhorn-Knopp constrained assignment, TPU-native.
+
+The reference runs multiplicative Sinkhorn in float64 to avoid under/overflow
+(modeling_repconc.py:56,137-165) and all-reduces marginals across DDP ranks.
+float64 is slow on TPU, so this implementation works in LOG SPACE in float32:
+updates subtract logsumexp terms instead of dividing by sums, which is
+unconditionally stable at fp32 for any epsilon. Cross-device marginals use
+`psum`/`pmax` over a named mesh axis instead of NCCL all_reduce — the
+function is written once and works both inside `shard_map` (axis_name given)
+and on a single device (axis_name=None).
+
+Semantics match the reference exactly:
+  * each of the K centroids receives total mass 1/K over the GLOBAL batch;
+  * each sample distributes mass 1/B_global over centroids;
+  * the returned Q is scaled by B_global so columns sum to 1 (an assignment);
+  * distances are pre-centered to [-1, 1] with global max/min
+    (center_distance_for_constraint, modeling_repconc.py:73-85).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_size(axis_name: Optional[str]) -> int:
+    if axis_name is None:
+        return 1
+    return jax.lax.axis_size(axis_name)
+
+
+def _global_logsumexp_batch(logq: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
+    """logsumexp of logq over its batch axis (-2), summed across devices.
+
+    logq: (M, B_local, K) -> (M, 1, K)
+    """
+    gmax = jnp.max(logq, axis=-2, keepdims=True)
+    if axis_name is not None:
+        gmax = jax.lax.pmax(gmax, axis_name)
+    s = jnp.sum(jnp.exp(logq - gmax), axis=-2, keepdims=True)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return jnp.log(jnp.maximum(s, 1e-30)) + gmax
+
+
+def center_distances(
+    distances: jnp.ndarray, axis_name: Optional[str] = None
+) -> jnp.ndarray:
+    """Center per-subspace distances to [-1, 1] using global max/min.
+
+    distances: (M, B, K). Reference: modeling_repconc.py:73-85 (all_reduce
+    MAX/MIN become pmax/pmin on the mesh axis).
+    """
+    max_distance = jnp.max(distances, axis=(-1, -2))
+    min_distance = jnp.min(distances, axis=(-1, -2))
+    if axis_name is not None:
+        max_distance = jax.lax.pmax(max_distance, axis_name)
+        min_distance = jax.lax.pmin(min_distance, axis_name)
+    middle = (max_distance + min_distance) / 2
+    amplitude = max_distance - middle + 1e-5
+    return (distances - middle[:, None, None]) / amplitude[:, None, None]
+
+
+def sinkhorn_log(
+    neg_cost: jnp.ndarray,
+    epsilon: float,
+    iterations: int,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Entropic OT assignment in log space.
+
+    neg_cost: (M, B_local, K) similarity (= -centered_distance).
+    Returns log Q of shape (M, B_local, K) where exp(Q) has row marginals
+    (per centroid, global) = 1/K and column marginals (per sample) = 1/B_global,
+    scaled so each sample's row sums to 1.
+
+    Equivalent to the reference's multiplicative loop (modeling_repconc.py:
+    137-165) but fp32-stable. The per-iteration all_reduce(sum_of_rows)
+    becomes a psum inside `_global_logsumexp_batch`.
+    """
+    B_local = neg_cost.shape[1]
+    K = neg_cost.shape[2]
+    world = _axis_size(axis_name)
+    B_global = B_local * world
+
+    logq = neg_cost / epsilon
+
+    # initial global normalization (sum over everything = 1); a constant
+    # shift per subspace — kept for parity with the reference numerics.
+    flat_lse = _global_logsumexp_batch(
+        jax.scipy.special.logsumexp(logq, axis=-1, keepdims=True), axis_name
+    )
+    logq = logq - flat_lse
+
+    log_K = jnp.log(jnp.asarray(K, dtype=logq.dtype))
+    log_B = jnp.log(jnp.asarray(B_global, dtype=logq.dtype))
+
+    def body(_, logq):
+        # rows: per-centroid mass (over global batch) must be 1/K
+        row_lse = _global_logsumexp_batch(logq, axis_name)  # (M, 1, K)
+        logq = logq - row_lse - log_K
+        # columns: per-sample mass must be 1/B_global
+        col_lse = jax.scipy.special.logsumexp(logq, axis=-1, keepdims=True)
+        logq = logq - col_lse - log_B
+        return logq
+
+    logq = jax.lax.fori_loop(0, iterations, body, logq)
+    # scale columns to sum to 1 -> assignment distribution per sample
+    return logq + log_B
+
+
+def sinkhorn_assign(
+    distances: jnp.ndarray,
+    epsilon: float,
+    iterations: int,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Constrained code assignment: center -> sinkhorn -> argmax.
+
+    distances: (M, B, K) squared L2 distances to centroids.
+    Returns codes (B, M) int32.
+    """
+    centered = center_distances(distances, axis_name)
+    logq = sinkhorn_log(-centered, epsilon, iterations, axis_name)
+    codes = jnp.argmax(logq, axis=-1)  # (M, B)
+    return codes.T.astype(jnp.int32)
