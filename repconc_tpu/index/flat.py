@@ -1,0 +1,81 @@
+"""Flat (uncompressed) inner-product search — faiss IndexFlatIP equivalent.
+
+Reference: models/dense/evaluate_dense.py:92-129 (GPU flat index + batched
+search). Here: one jitted matmul + `lax.top_k` per corpus chunk with a jitted
+running top-k merge, so corpora larger than HBM stream from host while the
+MXU stays busy.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def _chunk_topk(queries, corpus_chunk, base, topk: int):
+    scores = jnp.dot(queries, corpus_chunk.T, preferred_element_type=jnp.float32)
+    k = min(topk, corpus_chunk.shape[0])
+    s, i = jax.lax.top_k(scores, k)
+    return s, i + base
+
+
+@jax.jit
+def _merge_topk(best_s, best_i, new_s, new_i):
+    s = jnp.concatenate([best_s, new_s], axis=1)
+    i = jnp.concatenate([best_i, new_i], axis=1)
+    topk = best_s.shape[1]
+    ms, mpos = jax.lax.top_k(s, topk)
+    return ms, jnp.take_along_axis(i, mpos, axis=1)
+
+
+def flat_search(
+    query_embeds,
+    corpus_embeds,
+    topk: int = 1000,
+    chunk_size: int = 1 << 20,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k inner-product search.
+
+    query_embeds: (Q, D); corpus_embeds: (N, D) (numpy host array or device
+    array). Returns (scores (Q, topk), indices (Q, topk)) as numpy.
+    """
+    q = jnp.asarray(query_embeds, dtype=jnp.float32)
+    N = corpus_embeds.shape[0]
+    topk = min(topk, N)
+
+    best_s = jnp.full((q.shape[0], topk), -jnp.inf, dtype=jnp.float32)
+    best_i = jnp.zeros((q.shape[0], topk), dtype=jnp.int32)
+    for start in range(0, N, chunk_size):
+        stop = min(start + chunk_size, N)
+        cc = jnp.asarray(corpus_embeds[start:stop], dtype=jnp.float32)
+        s, i = _chunk_topk(q, cc, start, topk)
+        if s.shape[1] < topk:  # tiny tail chunk
+            pad = topk - s.shape[1]
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            i = jnp.pad(i, ((0, 0), (0, pad)))
+        best_s, best_i = _merge_topk(best_s, best_i, s, i)
+    return np.asarray(best_s), np.asarray(best_i)
+
+
+def batch_flat_search(
+    query_ids: np.ndarray,
+    query_embeds: np.ndarray,
+    corpus_ids: np.ndarray,
+    corpus_embeds,
+    topk: int,
+    batch_size: int = 1200,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Query-batched flat search returning docid strings
+    (reference: evaluate_dense.py:92-110)."""
+    all_scores, all_ids = [], []
+    iterations = math.ceil(len(query_ids) / batch_size)
+    for q_chunk in np.array_split(query_embeds, iterations):
+        s, i = flat_search(q_chunk, corpus_embeds, topk)
+        all_scores.append(s)
+        all_ids.append(corpus_ids[i])
+    return np.concatenate(all_scores, 0), np.concatenate(all_ids, 0)
