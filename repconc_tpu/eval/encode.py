@@ -1,0 +1,142 @@
+"""Corpus/query batch encoding with XLA-friendly static shapes.
+
+The reference leans on dynamic per-batch padding (eval_utils.py:114-133) and
+length-sorted corpora (evaluate_repconc.py:140). XLA recompiles per shape, so
+here batches are padded to a small set of BUCKET lengths (powers of two up to
+max_seq_length) and a fixed batch size — a handful of compilations total,
+then every batch hits the jit cache. Corpus is still sorted longest-first so
+bucket transitions are monotone and padding waste is minimal.
+
+Adapter tokenizer protocol: if the tokenizer's __call__ accepts
+`input_text_type`, it is passed "query"/"doc" (the reference's custom-model
+hook, finetune_repconc.py:68-69, preserved as the API contract).
+"""
+from __future__ import annotations
+
+import inspect
+import logging
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from repconc_tpu.core.config import RepConcConfig
+from repconc_tpu.models import repconc_model
+
+logger = logging.getLogger(__name__)
+
+BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def accepts_text_type(tokenizer) -> bool:
+    try:
+        return "input_text_type" in inspect.getfullargspec(tokenizer.__call__)[0]
+    except TypeError:
+        return False
+
+
+def tokenize_batch(tokenizer, texts, max_length: int, input_text_type: str):
+    kwargs = {"input_text_type": input_text_type} if accepts_text_type(tokenizer) else {}
+    out = tokenizer(texts, padding=True, truncation=True, max_length=max_length,
+                    **kwargs)
+    ids = np.asarray(out["input_ids"], dtype=np.int32)
+    mask = np.asarray(out["attention_mask"], dtype=np.int32)
+    return ids, mask
+
+
+def pad_to_bucket(ids: np.ndarray, mask: np.ndarray, max_length: int,
+                  pad_token_id: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    L = ids.shape[1]
+    bucket = next((b for b in BUCKETS if b >= L and b <= max_length), max_length)
+    bucket = min(bucket, max_length)
+    if L < bucket:
+        ids = np.pad(ids, ((0, 0), (0, bucket - L)), constant_values=pad_token_id)
+        mask = np.pad(mask, ((0, 0), (0, bucket - L)))
+    elif L > bucket:
+        ids, mask = ids[:, :bucket], mask[:, :bucket]
+    return ids, mask
+
+
+def _encode_fn(config: RepConcConfig, output: str):
+    if output == "code":
+        @jax.jit
+        def fn(params, ids, mask):
+            out = repconc_model.forward(config, params, ids, mask,
+                                        return_code=True, use_constraint=False)
+            return out.discrete_codes
+    else:
+        @jax.jit
+        def fn(params, ids, mask):
+            return repconc_model.encode_continuous(config, params, ids, mask)
+    return fn
+
+
+def encode_texts(
+    texts,
+    config: RepConcConfig,
+    params,
+    tokenizer,
+    max_seq_length: int,
+    batch_size: int = 256,
+    output: str = "continuous_embedding",
+    input_text_type: str = "doc",
+    verbose: bool = False,
+) -> np.ndarray:
+    """Encode a list of texts to codes (uint8) or continuous embeds (fp32)."""
+    fn = _encode_fn(config, output)
+    n = len(texts)
+    pad_id = config.encoder.pad_token_id
+    outs = []
+    for start in range(0, n, batch_size):
+        batch = list(texts[start:start + batch_size])
+        real = len(batch)
+        if real < batch_size:  # static batch shape: pad with copies
+            batch = batch + [batch[-1]] * (batch_size - real)
+        ids, mask = tokenize_batch(tokenizer, batch, max_seq_length, input_text_type)
+        ids, mask = pad_to_bucket(ids, mask, max_seq_length, pad_id)
+        res = np.asarray(fn(params, jnp.asarray(ids), jnp.asarray(mask)))[:real]
+        outs.append(res)
+        if verbose and (start // batch_size) % 50 == 0:
+            logger.info("encoded %d/%d", min(start + batch_size, n), n)
+    out = np.concatenate(outs, axis=0)
+    return out.astype(np.uint8) if output == "code" else out.astype(np.float32)
+
+
+def encode_corpus(
+    corpus: Dict[Any, str],
+    config: RepConcConfig,
+    params,
+    tokenizer,
+    max_seq_length: int,
+    batch_size: int = 256,
+    output: str = "code",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode a {docid: text} corpus, longest-first
+    (reference: evaluate_repconc.py:138-159). Returns (codes_or_embeds, corpus_ids)."""
+    logger.info("Sorting corpus by document length (longest first)...")
+    corpus_ids = np.array(sorted(corpus, key=lambda k: len(corpus[k]), reverse=True))
+    texts = [corpus[cid] for cid in corpus_ids]
+    enc = encode_texts(texts, config, params, tokenizer, max_seq_length,
+                       batch_size, output=output, input_text_type="doc",
+                       verbose=True)
+    return enc, corpus_ids
+
+
+def encode_queries(
+    queries: Dict[Any, str],
+    config: RepConcConfig,
+    params,
+    tokenizer,
+    max_seq_length: int,
+    batch_size: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode queries to continuous fp32 embeddings, sorted by qid
+    (reference: evaluate_repconc.py:162-177)."""
+    query_ids = sorted(queries.keys())
+    texts = [queries[qid] for qid in query_ids]
+    embeds = encode_texts(texts, config, params, tokenizer, max_seq_length,
+                          batch_size, output="continuous_embedding",
+                          input_text_type="query")
+    return embeds, np.array(query_ids)

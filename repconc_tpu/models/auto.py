@@ -1,0 +1,175 @@
+"""AutoDense equivalent: build a flax DenseEncoder from an HF checkpoint dir.
+
+Replaces the reference's AutoDense.from_pretrained
+(models/dense/modeling_dense.py:123-136): reads the HF config.json (with the
+stamped `pooling` / `similarity_metric` fields the pipeline relies on), maps
+the torch state dict (model.safetensors or pytorch_model.bin) onto the
+unified flax TransformerEncoder parameter tree. Supports bert / roberta /
+distilbert plus the ANCE (projection head) and TCT (mean_skip4 pooling)
+adapter variants.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from repconc_tpu.core.config import EncoderConfig
+
+
+def encoder_config_from_hf(hf: dict, model_type: Optional[str] = None) -> EncoderConfig:
+    """Translate an HF config dict into an EncoderConfig."""
+    mt = model_type or hf.get("model_type", "bert")
+    if mt == "distilbert":
+        cfg = EncoderConfig(
+            model_type=mt,
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["dim"],
+            num_hidden_layers=hf["n_layers"],
+            num_attention_heads=hf["n_heads"],
+            intermediate_size=hf["hidden_dim"],
+            max_position_embeddings=hf["max_position_embeddings"],
+            type_vocab_size=0,
+            layer_norm_eps=1e-12,
+            hidden_act=hf.get("activation", "gelu"),
+            position_offset=0,
+            pad_token_id=hf.get("pad_token_id", 0),
+        )
+    elif mt in ("bert", "roberta", "ance", "tct"):
+        base = "roberta" if mt == "ance" else mt
+        pad = hf.get("pad_token_id", 1 if base == "roberta" else 0)
+        if pad is None:
+            pad = 1 if base == "roberta" else 0
+        cfg = EncoderConfig(
+            model_type=mt,
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            num_hidden_layers=hf["num_hidden_layers"],
+            num_attention_heads=hf["num_attention_heads"],
+            intermediate_size=hf["intermediate_size"],
+            max_position_embeddings=hf["max_position_embeddings"],
+            type_vocab_size=hf.get("type_vocab_size", 2),
+            layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+            hidden_act=hf.get("hidden_act", "gelu"),
+            position_offset=(pad + 1) if base == "roberta" else 0,
+            pad_token_id=pad,
+        )
+    else:
+        raise NotImplementedError(f"model_type {mt}")
+    # pipeline-stamped head options (customize_trained_dense.py:62-63)
+    if "pooling" in hf:
+        cfg.pooling = hf["pooling"]
+    if mt == "ance":
+        cfg.projection = True
+        cfg.pooling = "cls"
+    if mt == "tct":
+        cfg.pooling = "mean_skip4"
+    return cfg
+
+
+def _load_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        return load_file(st_path)
+    pt_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(pt_path):
+        import torch
+
+        sd = torch.load(pt_path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no model weights in {model_dir}")
+
+
+def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Remove the backbone attribute prefix (bert./roberta./distilbert.)."""
+    for probe in ("embeddings.word_embeddings.weight",):
+        for key in sd:
+            if key.endswith(probe):
+                prefix = key[: -len(probe)]
+                if prefix in ("", "bert.", "roberta.", "distilbert."):
+                    if prefix:
+                        out = {}
+                        for k, v in sd.items():
+                            out[k[len(prefix):] if k.startswith(prefix) else k] = v
+                        return out
+                    return dict(sd)
+    return dict(sd)
+
+
+def _dense(sd, name):
+    return {"kernel": sd[f"{name}.weight"].T.astype(np.float32),
+            "bias": sd[f"{name}.bias"].astype(np.float32)}
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"].astype(np.float32),
+            "bias": sd[f"{name}.bias"].astype(np.float32)}
+
+
+def convert_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[str, Any]:
+    """Map an HF torch state dict to the flax DenseEncoder param tree."""
+    sd = _strip_prefix(sd)
+    distil = cfg.model_type == "distilbert"
+
+    t: Dict[str, Any] = {}
+    t["word_embeddings"] = {
+        "embedding": sd["embeddings.word_embeddings.weight"].astype(np.float32)}
+    t["position_embeddings"] = {
+        "embedding": sd["embeddings.position_embeddings.weight"].astype(np.float32)}
+    if cfg.type_vocab_size > 0:
+        t["token_type_embeddings"] = {
+            "embedding": sd["embeddings.token_type_embeddings.weight"].astype(np.float32)}
+    t["embeddings_ln"] = _ln(sd, "embeddings.LayerNorm")
+
+    for i in range(cfg.num_hidden_layers):
+        if distil:
+            p = f"transformer.layer.{i}"
+            layer = {
+                "attention": {
+                    "query": _dense(sd, f"{p}.attention.q_lin"),
+                    "key": _dense(sd, f"{p}.attention.k_lin"),
+                    "value": _dense(sd, f"{p}.attention.v_lin"),
+                    "out": _dense(sd, f"{p}.attention.out_lin"),
+                },
+                "attention_ln": _ln(sd, f"{p}.sa_layer_norm"),
+                "mlp_up": _dense(sd, f"{p}.ffn.lin1"),
+                "mlp_down": _dense(sd, f"{p}.ffn.lin2"),
+                "mlp_ln": _ln(sd, f"{p}.output_layer_norm"),
+            }
+        else:
+            p = f"encoder.layer.{i}"
+            layer = {
+                "attention": {
+                    "query": _dense(sd, f"{p}.attention.self.query"),
+                    "key": _dense(sd, f"{p}.attention.self.key"),
+                    "value": _dense(sd, f"{p}.attention.self.value"),
+                    "out": _dense(sd, f"{p}.attention.output.dense"),
+                },
+                "attention_ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
+                "mlp_up": _dense(sd, f"{p}.intermediate.dense"),
+                "mlp_down": _dense(sd, f"{p}.output.dense"),
+                "mlp_ln": _ln(sd, f"{p}.output.LayerNorm"),
+            }
+        t[f"layer_{i}"] = layer
+
+    params: Dict[str, Any] = {"transformer": t}
+    if cfg.projection:
+        # ANCE head keys live OUTSIDE the backbone prefix
+        params["projection"] = _dense(sd, "embeddingHead")
+        params["projection_ln"] = _ln(sd, "norm")
+    return params
+
+
+def load_dense_encoder(model_dir: str) -> Tuple[EncoderConfig, Dict[str, Any], str]:
+    """Load (EncoderConfig, flax params, similarity_metric) from an HF dir."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    cfg = encoder_config_from_hf(hf)
+    sd = _load_state_dict(model_dir)
+    params = convert_hf_weights(sd, cfg)
+    metric = hf.get("similarity_metric", "METRIC_IP")
+    return cfg, params, metric
