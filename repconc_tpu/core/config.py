@@ -47,6 +47,9 @@ class EncoderConfig:
     # head options
     pooling: str = "cls"                # cls | mean | mean_skip4 (TCT)
     projection: bool = False            # ANCE-style Linear+LayerNorm head
+    # regularization (HF hidden_dropout_prob / attention_probs_dropout_prob)
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
     # numerics
     dtype: str = "float32"              # activation dtype: float32 | bfloat16
 

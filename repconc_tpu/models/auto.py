@@ -36,6 +36,8 @@ def encoder_config_from_hf(hf: dict, model_type: Optional[str] = None) -> Encode
             hidden_act=hf.get("activation", "gelu"),
             position_offset=0,
             pad_token_id=hf.get("pad_token_id", 0),
+            hidden_dropout=hf.get("dropout", 0.1),
+            attention_dropout=hf.get("attention_dropout", 0.1),
         )
     elif mt in ("bert", "roberta", "ance", "tct"):
         base = "roberta" if mt == "ance" else mt
@@ -55,6 +57,8 @@ def encoder_config_from_hf(hf: dict, model_type: Optional[str] = None) -> Encode
             hidden_act=hf.get("hidden_act", "gelu"),
             position_offset=(pad + 1) if base == "roberta" else 0,
             pad_token_id=pad,
+            hidden_dropout=hf.get("hidden_dropout_prob", 0.1),
+            attention_dropout=hf.get("attention_probs_dropout_prob", 0.1),
         )
     else:
         raise NotImplementedError(f"model_type {mt}")

@@ -65,13 +65,20 @@ def init_params(
 
 
 def encode_continuous(
-    config: RepConcConfig, params: Dict[str, Any], input_ids, attention_mask
+    config: RepConcConfig,
+    params: Dict[str, Any],
+    input_ids,
+    attention_mask,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Dense encode -> rotate -> (per-subvector normalize for CENTROID_COS).
 
     Reference forward up to the quantizer (modeling_repconc.py:94-100)."""
     module = DenseEncoder(config.encoder, config.similarity_metric)
-    embeds = module.apply({"params": params["encoder"]}, input_ids, attention_mask)
+    rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
+    embeds = module.apply({"params": params["encoder"]}, input_ids, attention_mask,
+                          deterministic=not train, rngs=rngs)
     rotated = jnp.dot(embeds, params["rotation"].T,
                       precision=jax.lax.Precision.HIGHEST)
     if config.similarity_metric == METRIC_CENTROID_COS:

@@ -32,7 +32,7 @@ class SelfAttention(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, hidden, attention_bias):
+    def __call__(self, hidden, attention_bias, deterministic=True):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         H, nh, hd = cfg.hidden_size, cfg.num_attention_heads, cfg.head_dim
@@ -50,6 +50,8 @@ class SelfAttention(nn.Module):
         scores = scores / jnp.sqrt(jnp.asarray(hd, dtype=scores.dtype))
         scores = scores + attention_bias  # (B, 1, 1, L) additive mask
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        probs = nn.Dropout(cfg.attention_dropout, name="attn_dropout")(
+            probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(dtype)
         ctx = ctx.reshape(B, L, H)
@@ -60,16 +62,20 @@ class TransformerLayer(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, hidden, attention_bias):
+    def __call__(self, hidden, attention_bias, deterministic=True):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
-        attn = SelfAttention(cfg, name="attention")(hidden, attention_bias)
+        drop = nn.Dropout(cfg.hidden_dropout)
+        attn = SelfAttention(cfg, name="attention")(hidden, attention_bias,
+                                                    deterministic)
+        attn = drop(attn, deterministic=deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                               name="attention_ln")(hidden + attn)
         hidden = hidden.astype(dtype)
         up = nn.Dense(cfg.intermediate_size, dtype=dtype, name="mlp_up")(hidden)
         up = ACT[cfg.hidden_act](up)
         down = nn.Dense(cfg.hidden_size, dtype=dtype, name="mlp_down")(up)
+        down = drop(down, deterministic=deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                               name="mlp_ln")(hidden + down)
         return hidden.astype(dtype)
@@ -81,7 +87,7 @@ class TransformerEncoder(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask):
+    def __call__(self, input_ids, attention_mask, deterministic=True):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         B, L = input_ids.shape
@@ -103,11 +109,14 @@ class TransformerEncoder(nn.Module):
             hidden = hidden + tok_type
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                               name="embeddings_ln")(hidden).astype(dtype)
+        hidden = nn.Dropout(cfg.hidden_dropout, name="embed_dropout")(
+            hidden, deterministic=deterministic)
 
         bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
         bias = bias.astype(jnp.float32)
         for i in range(cfg.num_hidden_layers):
-            hidden = TransformerLayer(cfg, name=f"layer_{i}")(hidden, bias)
+            hidden = TransformerLayer(cfg, name=f"layer_{i}")(
+                hidden, bias, deterministic)
         return hidden
 
 
@@ -126,10 +135,10 @@ class DenseEncoder(nn.Module):
     similarity_metric: str = "METRIC_IP"
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask):
+    def __call__(self, input_ids, attention_mask, deterministic=True):
         cfg = self.cfg
         hidden = TransformerEncoder(cfg, name="transformer")(
-            input_ids, attention_mask)
+            input_ids, attention_mask, deterministic)
         hidden = hidden.astype(jnp.float32)
 
         if cfg.pooling == "cls":

@@ -1,0 +1,44 @@
+"""Sharded training-step tests on the virtual 8-device mesh (GSPMD path)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from repconc_tpu.core.config import EncoderConfig, RepConcConfig
+from repconc_tpu.models import repconc_model
+from repconc_tpu.train.stage1 import Stage1Hparams, make_optimizer, make_train_step
+from tests.test_stage1 import TINY_ENC, make_batch
+
+
+def test_sharded_train_step_runs_and_matches_single(rng):
+    cfg = RepConcConfig(encoder=TINY_ENC, MCQ_M=4, MCQ_K=16,
+                        sk_epsilon=0.05, sk_iters=10)
+    params = repconc_model.init_params(cfg, jax.random.key(0))
+    hp = Stage1Hparams(total_steps=4, use_constraint=True)
+    tx = make_optimizer(hp, params)
+    opt_state = tx.init(params)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, B=16, n_neg=1).items()}
+    key = jax.random.key(7)
+
+    # single-device reference
+    step_single = jax.jit(make_train_step(cfg, hp, tx))
+    p1, o1, m1, _ = step_single(params, opt_state, batch, key)
+
+    # 8-device data-sharded
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    step_sharded = jax.jit(make_train_step(cfg, hp, tx),
+                           in_shardings=(repl, repl, data, repl),
+                           out_shardings=(repl, repl, repl, repl))
+    p2, o2, m2, _ = step_sharded(params, opt_state, batch, key)
+
+    # loss identical (global-batch semantics preserved under sharding)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    # parameters agree to fp tolerance
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5),
+        p1, p2)
