@@ -1,0 +1,140 @@
+"""RepCONC index build + retrieval eval. Pipeline stages 8/10
+(reference: evaluate/run_repconc_eval.py).
+
+Encodes the corpus to uint8 codes with the DOC encoder, queries to fp32
+embeddings with the QUERY encoder, then ADC-searches with the QUERY encoder's
+centroids (the stage-2 centroid-swap semantics of replace_pq_centroids,
+run_repconc_eval.py:123-127, fall out naturally: search always uses the query
+model's codebook against the stored codes).
+All artifacts are cached skip-if-exists (run_repconc_eval.py:38-91).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import numpy as np
+
+from repconc_tpu.core.logging_utils import setup_logging
+from repconc_tpu.eval import (
+    evaluate_run, load_beir_corpus, load_beir_qrels, load_beir_queries,
+    load_corpus, load_queries, write_run_tsv,
+)
+from repconc_tpu.eval.encode import encode_corpus, encode_queries
+from repconc_tpu.index.adc import batch_adc_search
+
+logger = logging.getLogger(__name__)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_name_or_path", default=None)
+    parser.add_argument("--doc_encoder_path", default=None)
+    parser.add_argument("--query_encoder_path", default=None)
+    parser.add_argument("--max_seq_length", type=int, default=512)
+    parser.add_argument("--corpus_path", required=True)
+    parser.add_argument("--query_path", required=True)
+    parser.add_argument("--qrel_path", default=None)
+    parser.add_argument("--out_corpus_dir", required=True)
+    parser.add_argument("--out_query_dir", required=True)
+    parser.add_argument("--data_format", default="msmarco",
+                        choices=["msmarco", "beir"])
+    parser.add_argument("--per_device_eval_batch_size", type=int, default=256)
+    parser.add_argument("--topk", type=int, default=1000)
+    parser.add_argument("--search_batch", type=int, default=1200)
+    parser.add_argument("--adapter", default=None,
+                        help="custom model adapter (e.g. ance, tct)")
+    return parser
+
+
+def resolve_paths(args):
+    if args.model_name_or_path is not None:
+        assert args.doc_encoder_path is None and args.query_encoder_path is None
+        return args.model_name_or_path, args.model_name_or_path
+    return args.doc_encoder_path, args.query_encoder_path
+
+
+def load_model_and_tokenizer(model_dir: str, adapter=None):
+    from repconc_tpu.models import repconc_model
+    from repconc_tpu.models.adapters import load_adapter_tokenizer
+
+    config, params = repconc_model.from_pretrained(model_dir)
+    tokenizer = load_adapter_tokenizer(model_dir, adapter or
+                                       config.encoder.model_type)
+    return config, params, tokenizer
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    setup_logging()
+    doc_dir, query_dir = resolve_paths(args)
+
+    # --- corpus codes (cached) ---
+    codes_path = os.path.join(args.out_corpus_dir, "codes.npy")
+    cids_path = os.path.join(args.out_corpus_dir, "corpus_ids.npy")
+    if os.path.exists(codes_path) and os.path.exists(cids_path):
+        logger.info("Load pre-computed corpus codes")
+        codes, corpus_ids = np.load(codes_path), np.load(cids_path)
+    else:
+        config, params, tokenizer = load_model_and_tokenizer(doc_dir, args.adapter)
+        if args.data_format == "msmarco":
+            corpus = load_corpus(args.corpus_path, tokenizer.sep_token)
+        else:
+            corpus = load_beir_corpus(args.corpus_path)
+        codes, corpus_ids = encode_corpus(
+            corpus, config, params, tokenizer, args.max_seq_length,
+            batch_size=args.per_device_eval_batch_size, output="code")
+        os.makedirs(args.out_corpus_dir, exist_ok=True)
+        np.save(codes_path, codes)
+        np.save(cids_path, corpus_ids)
+
+    # --- query embeddings (cached) ---
+    qemb_path = os.path.join(args.out_query_dir, "codes.npy")  # reference name
+    qids_path = os.path.join(args.out_query_dir, "qids.npy")
+    q_config, q_params, q_tokenizer = load_model_and_tokenizer(
+        query_dir, args.adapter)
+    if os.path.exists(qemb_path) and os.path.exists(qids_path):
+        logger.info("Load pre-computed query representations")
+        query_embeds, query_ids = np.load(qemb_path), np.load(qids_path)
+    else:
+        if args.data_format == "msmarco":
+            queries = load_queries(args.query_path)
+        else:
+            queries = load_beir_queries(args.query_path)
+        query_embeds, query_ids = encode_queries(
+            queries, q_config, q_params, q_tokenizer, args.max_seq_length,
+            batch_size=args.per_device_eval_batch_size)
+        os.makedirs(args.out_query_dir, exist_ok=True)
+        np.save(qemb_path, query_embeds)
+        np.save(qids_path, query_ids)
+
+    out_metric_path = os.path.join(args.out_query_dir, "metric.json")
+    if os.path.exists(out_metric_path):
+        logger.info("Skip search: metric.json already exists")
+        return
+
+    # --- search with the QUERY model's centroids (stage-2 swap semantics) ---
+    centroids = np.asarray(q_params["centroids"])
+    scores, topk_ids = batch_adc_search(
+        query_ids, query_embeds, corpus_ids, codes, centroids,
+        topk=args.topk, batch_size=args.search_batch)
+    out_run_path = os.path.join(args.out_query_dir, "run.tsv")
+    write_run_tsv(out_run_path, query_ids, scores, topk_ids)
+
+    if args.qrel_path is None:
+        return
+    if args.data_format == "msmarco":
+        metrics = evaluate_run(args.qrel_path, out_run_path)
+    else:
+        metrics = evaluate_run(load_beir_qrels(args.qrel_path), out_run_path)
+    for k, v in metrics.items():
+        if k != "perquery":
+            logger.info("%s", v)
+    with open(out_metric_path, "w") as f:
+        json.dump(metrics, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,7 @@ def from_dense_encoder(
         sk_epsilon=sk_epsilon,
         sk_iters=sk_iters,
     )
-    params = init_params(config, key or jax.random.key(2022),
-                         encoder_params=enc_params)
+    if key is None:
+        key = jax.random.key(2022)
+    params = init_params(config, key, encoder_params=enc_params)
     return config, params

@@ -115,6 +115,79 @@ class QDRelDataset:
         return data
 
 
+class QueryDataset:
+    """Stage-2 dataset: queries + qrels resolved to INDEX OFFSETS of a built
+    code index (reference: finetune_jpq.py:86-139)."""
+
+    def __init__(
+        self,
+        qrel_path: str,
+        query_path: str,
+        index_doc_ids: np.ndarray,
+        rel_threshold: int = 1,
+    ):
+        docid2offset = {str(d): i for i, d in enumerate(index_doc_ids)}
+        self.queries: List[str] = []
+        qid2offset: Dict[str, int] = {}
+        with open(query_path) as f:
+            for idx, line in enumerate(f):
+                qid, query = line.split("\t")
+                qid2offset[qid] = idx
+                self.queries.append(query.strip())
+
+        self.qrels: Dict[int, List[int]] = {}
+        with open(qrel_path) as f:
+            for line in f:
+                qid, _, docid, rel = line.split()
+                if int(rel) >= rel_threshold and docid in docid2offset:
+                    self.qrels.setdefault(qid2offset[qid], []).append(
+                        docid2offset[docid])
+        self.qids = sorted(self.qrels.keys())
+
+    def __len__(self):
+        return len(self.qids)
+
+    def sample(self, qoffset: int, rng: random.Random) -> Dict[str, Any]:
+        return {
+            "qid": qoffset,
+            "query": self.queries[qoffset],
+            "pos_docid": rng.choice(self.qrels[qoffset]),
+        }
+
+
+@dataclass
+class QueryCollator:
+    """Stage-2 batch: query tokens + sampled positive offsets + padded
+    positives (reference: FinetuneQueryCollator, finetune_jpq.py:53-83)."""
+
+    tokenizer: Any
+    max_query_len: int
+    max_positives: int = 8
+
+    def __call__(self, samples: List[Dict[str, Any]],
+                 qrels: Dict[int, List[int]]) -> Dict[str, np.ndarray]:
+        from repconc_tpu.eval.encode import accepts_text_type
+
+        kwargs = ({"input_text_type": "query"}
+                  if accepts_text_type(self.tokenizer) else {})
+        out = self.tokenizer([s["query"] for s in samples], padding="max_length",
+                             truncation=True, max_length=self.max_query_len,
+                             **kwargs)
+        P = self.max_positives
+        positives = np.full((len(samples), P), -1, dtype=np.int32)
+        for i, s in enumerate(samples):
+            pos = qrels.get(s["qid"], [])[:P]
+            positives[i, :len(pos)] = pos
+        return {
+            "query_input_ids": np.asarray(out["input_ids"], dtype=np.int32),
+            "query_attention_mask": np.asarray(out["attention_mask"], dtype=np.int32),
+            "qids": np.asarray([s["qid"] for s in samples], dtype=np.int32),
+            "pos_docids": np.asarray([s["pos_docid"] for s in samples],
+                                     dtype=np.int32),
+            "query_positives": positives,
+        }
+
+
 @dataclass
 class FinetuneCollator:
     """Tokenize a list of samples into one fixed-shape device batch."""

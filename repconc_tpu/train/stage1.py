@@ -319,10 +319,14 @@ def train(
                 best = score
                 repconc_model.save_pretrained(
                     os.path.join(output_dir, "best"), config, params)
+                if tokenizer is not None:
+                    tokenizer.save_pretrained(os.path.join(output_dir, "best"))
         if hp.save_steps and step % hp.save_steps == 0:
             save_train_state(ckpt_dir, params, opt_state, step, best)
 
     save_train_state(ckpt_dir, params, opt_state, step, best)
     repconc_model.save_pretrained(os.path.join(output_dir, "final"), config, params)
+    if tokenizer is not None:
+        tokenizer.save_pretrained(os.path.join(output_dir, "final"))
     return {"params": params, "step": step, "best_metric": best,
             "history": history}

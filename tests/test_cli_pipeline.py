@@ -1,0 +1,188 @@
+"""Full 10-stage pipeline integration test through the CLI entry points.
+
+Mirrors the reference recipe flow (examples/tas-balanced/README.md:44-72):
+customize -> dense eval -> valid set -> warmup -> hardneg -> conc train ->
+conc eval -> jpq train -> jpq eval, on a tiny toy model/corpus.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("torch")
+
+from repconc_tpu.cli import (
+    run_customize_dense, run_dense_eval, run_extract_hardneg,
+    run_gen_valid_set, run_repconc_eval, run_train_conc, run_train_jpq,
+    run_warmup,
+)
+
+WORDS = [f"w{i:02d}" for i in range(30)]
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    """Build the toy model + dataset files once."""
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    root = tmp_path_factory.mktemp("pipeline")
+    model_dir = root / "raw_model"
+    model_dir.mkdir()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + WORDS
+    (model_dir / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(model_dir / "vocab.txt"))
+    tok.save_pretrained(model_dir)
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64, pad_token_id=0)
+    BertModel(cfg, add_pooling_layer=False).save_pretrained(model_dir)
+
+    data = root / "data"
+    data.mkdir()
+    rng = np.random.default_rng(5)
+    with open(data / "corpus.tsv", "w") as f:
+        for i in range(120):
+            filler = " ".join(rng.choice(WORDS[15:], size=5))
+            f.write(f"d{i}\t{WORDS[i % 15]} {filler}\n")
+    with open(data / "queries.tsv", "w") as f:
+        for i in range(30):
+            f.write(f"q{i}\t{WORDS[i % 15]}\n")
+    with open(data / "qrels.txt", "w") as f:
+        for i in range(30):
+            for j in range(120):
+                if j % 15 == i % 15:
+                    f.write(f"q{i} 0 d{j} 1\n")
+    return root
+
+
+def test_full_pipeline(env):
+    root = env
+    data = root / "data"
+
+    # stage 2: customize
+    run_customize_dense.main([
+        "--model_name_or_path", str(root / "raw_model"),
+        "--similarity_metric", "METRIC_COS", "--pooling", "mean",
+        "--output_dir", str(root / "dense_model")])
+    cfg = json.load(open(root / "dense_model" / "config.json"))
+    assert cfg["pooling"] == "mean" and cfg["similarity_metric"] == "METRIC_COS"
+
+    # stage 3: dense eval (saves corpus embeds for warmup)
+    run_dense_eval.main([
+        "--model_name_or_path", str(root / "dense_model"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--query_path", str(data / "queries.tsv"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--out_corpus_dir", str(root / "dense_out"),
+        "--out_query_dir", str(root / "dense_out" / "dev"),
+        "--max_seq_length", "32", "--topk", "50",
+        "--save_corpus_embed", "--save_query_embed"])
+    assert (root / "dense_out" / "corpus_embeds.npy").exists()
+    dense_metrics = json.load(open(root / "dense_out" / "dev" / "metric.json"))
+    assert "MRR@10" in dense_metrics["mrr"]
+
+    # stage 4: validation set from the dense run
+    run_gen_valid_set.main([
+        "--input_corpus_path", str(data / "corpus.tsv"),
+        "--input_query_path", str(data / "queries.tsv"),
+        "--input_qrel_path", str(data / "qrels.txt"),
+        "--input_run_path", str(root / "dense_out" / "dev" / "run.tsv"),
+        "--topk", "10",
+        "--output_corpus_path", str(root / "valid" / "corpus.tsv"),
+        "--output_query_path", str(root / "valid" / "queries.tsv"),
+        "--output_qrel_path", str(root / "valid" / "qrels.txt")])
+    assert (root / "valid" / "corpus.tsv").exists()
+
+    # stage 5: OPQ warmup
+    run_warmup.main([
+        "--model_name_or_path", str(root / "dense_model"),
+        "--MCQ_M", "8", "--MCQ_K", "32",
+        "--input_corpus_embed_path", str(root / "dense_out" / "corpus_embeds.npy"),
+        "--input_corpus_ids_path", str(root / "dense_out" / "corpus_ids.npy"),
+        "--output_model_dir", str(root / "warmup_model"),
+        "--output_index_dir", str(root / "warmup_index"),
+        "--opq_outer_iters", "4", "--opq_pq_iters", "2",
+        "--final_pq_iters", "5"])
+    codes = np.load(root / "warmup_index" / "codes.npy")
+    assert codes.shape == (120, 8) and codes.dtype == np.uint8
+
+    # stage 6: hard negatives from the dense run
+    run_extract_hardneg.main([
+        "--run_path", str(root / "dense_out" / "dev" / "run.tsv"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--topk", "20",
+        "--output_path", str(root / "hardneg.json")])
+    hardneg = json.load(open(root / "hardneg.json"))
+    assert len(hardneg) > 0
+
+    # stage 7: stage-1 joint training (few steps)
+    run_train_conc.main([
+        "--model_name_or_path", str(root / "warmup_model"),
+        "--output_dir", str(root / "conc_out"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--query_path", str(data / "queries.tsv"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--valid_qrel_path", str(root / "valid" / "qrels.txt"),
+        "--valid_query_path", str(root / "valid" / "queries.tsv"),
+        "--valid_corpus_path", str(root / "valid" / "corpus.tsv"),
+        "--max_query_len", "8", "--max_doc_len", "16",
+        "--per_device_train_batch_size", "8",
+        "--negative", str(root / "hardneg.json"),
+        "--negative_per_query", "2",
+        "--learning_rate", "1e-4", "--centroid_learning_rate", "1e-3",
+        "--sk_epsilon", "0.05", "--sk_iters", "10",
+        "--max_steps", "4", "--logging_steps", "2", "--eval_steps", "4"])
+    assert (root / "conc_out" / "final" / "params.msgpack").exists()
+    assert (root / "conc_out" / "best" / "params.msgpack").exists()
+
+    # stage 8: repconc eval of the trained model
+    run_repconc_eval.main([
+        "--model_name_or_path", str(root / "conc_out" / "final"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--query_path", str(data / "queries.tsv"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--out_corpus_dir", str(root / "conc_eval"),
+        "--out_query_dir", str(root / "conc_eval" / "dev"),
+        "--max_seq_length", "32", "--topk", "20"])
+    conc_metrics = json.load(open(root / "conc_eval" / "dev" / "metric.json"))
+    assert "MRR@10" in conc_metrics["mrr"]
+
+    # stage 9: JPQ training against the frozen stage-8 index
+    run_train_jpq.main([
+        "--model_name_or_path", str(root / "conc_out" / "final"),
+        "--index_dir", str(root / "conc_eval"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--query_path", str(data / "queries.tsv"),
+        "--valid_qrel_path", str(root / "valid" / "qrels.txt"),
+        "--valid_query_path", str(root / "valid" / "queries.tsv"),
+        "--max_query_len", "8",
+        "--output_dir", str(root / "jpq_out"),
+        "--per_device_train_batch_size", "8",
+        "--learning_rate", "1e-4", "--centroid_learning_rate", "1e-3",
+        "--dynamic_topk_negative", "16",
+        "--max_steps", "4", "--logging_steps", "2", "--eval_steps", "4"])
+    assert (root / "jpq_out" / "final" / "params.msgpack").exists()
+
+    # stage 10: eval with stage-2 query encoder against stage-8 doc codes
+    run_repconc_eval.main([
+        "--doc_encoder_path", str(root / "conc_out" / "final"),
+        "--query_encoder_path", str(root / "jpq_out" / "final"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--query_path", str(data / "queries.tsv"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--out_corpus_dir", str(root / "conc_eval"),  # codes cached from stage 8
+        "--out_query_dir", str(root / "jpq_eval" / "dev"),
+        "--max_seq_length", "32", "--topk", "20"])
+    jpq_metrics = json.load(open(root / "jpq_eval" / "dev" / "metric.json"))
+    assert "MRR@10" in jpq_metrics["mrr"]
+
+    # caching: rerunning stage 8 must be a no-op (skip-if-exists)
+    run_repconc_eval.main([
+        "--model_name_or_path", str(root / "conc_out" / "final"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--query_path", str(data / "queries.tsv"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--out_corpus_dir", str(root / "conc_eval"),
+        "--out_query_dir", str(root / "conc_eval" / "dev"),
+        "--max_seq_length", "32", "--topk", "20"])
