@@ -38,14 +38,20 @@ def build_lut(query_embeds: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
 def score_codes(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     """Score a code chunk against LUTs: (Q, M, K) x (N, M) -> (Q, N).
 
-    Expressed as M table-gathers (vmapped) — XLA lowers these to TPU
-    gathers; the Pallas kernel replaces this on the serving path.
+    A scan over the M subspaces accumulating one (N, Q) buffer — peak
+    memory O(N*Q), never O(M*N*Q). XLA reference path; the Pallas kernel
+    (pallas_adc.py) replaces this on the TPU serving path.
     """
     lut_t = lut.transpose(1, 2, 0)  # (M, K, Q)
     codes_t = codes.T.astype(jnp.int32)  # (M, N)
-    per_m = jax.vmap(lambda table, idx: jnp.take(table, idx, axis=0))(
-        lut_t, codes_t)  # (M, N, Q)
-    return jnp.sum(per_m, axis=0).T
+
+    def body(acc, mk):
+        table, idx = mk  # (K, Q), (N,)
+        return acc + jnp.take(table, idx, axis=0), None
+
+    init = jnp.zeros((codes.shape[0], lut_t.shape[2]), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, init, (lut_t, codes_t))
+    return acc.T
 
 
 @partial(jax.jit, static_argnames=("topk",))
@@ -61,7 +67,7 @@ def adc_search(
     codes,
     centroids,
     topk: int = 1000,
-    chunk_size: int = 1 << 20,
+    chunk_size: int = 1 << 16,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Brute-force ADC top-k over the full code matrix.
 
