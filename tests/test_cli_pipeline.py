@@ -24,8 +24,10 @@ WORDS = [f"w{i:02d}" for i in range(30)]
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):
     """Build the toy model + dataset files once."""
+    import torch
     from transformers import BertConfig, BertModel, BertTokenizerFast
 
+    torch.manual_seed(11)  # isolate from torch RNG consumed by other tests
     root = tmp_path_factory.mktemp("pipeline")
     model_dir = root / "raw_model"
     model_dir.mkdir()

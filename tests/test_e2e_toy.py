@@ -25,6 +25,9 @@ WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
 def tiny_hf_dir(tmp_path_factory):
     from transformers import BertConfig, BertModel, BertTokenizerFast
 
+    import torch
+
+    torch.manual_seed(7)  # isolate from torch RNG consumed by other tests
     d = tmp_path_factory.mktemp("tiny_bert")
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + WORDS
     (d / "vocab.txt").write_text("\n".join(vocab))
