@@ -1,0 +1,258 @@
+"""IVF-PQ: inverted-file pruning over the PQ code store, TPU-native.
+
+The reference degenerates IVF to a single list (nlist=1, coarse centroid at
+the origin) purely to reach faiss's fast GPU scan (evaluate_repconc.py:
+101-118). This is a REAL inverted file — deliberately beyond the reference:
+
+* coarse quantizer: k-means over (rotated) corpus embeddings, nlist cells;
+* NO residual encoding (faiss by_residual=False equivalent): the PQ codes
+  are identical to the flat index's codes, so the jointly-trained RepCONC
+  codebook — and stage-2 centroid swaps — work unchanged; IVF is purely a
+  pruning structure;
+* TPU-static layout: every cell's posting list is padded to a fixed Lpad
+  (a high quantile of list lengths); docs overflowing Lpad go to a SPILL
+  segment that is brute-force scanned for every query, so recall semantics
+  are exact w.r.t. the probed cells regardless of imbalance;
+* probing: top-nprobe cells by the L2 rule argmax_c (q.c - ||c||^2/2).
+
+Search implementations:
+  search_xla    — correct everywhere (CPU tests), query-major gathers.
+  The Pallas cell-grouped path lives in pallas_ivf.py (TPU serving).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from repconc_tpu.index.kmeans import assign, kmeans_fit
+from repconc_tpu.index.adc import build_lut
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class IVFIndex:
+    """Host-side container; device arrays are materialized lazily."""
+
+    coarse_centroids: np.ndarray   # (nlist, D) f32
+    cell_codes: np.ndarray         # (nlist, Lpad, M) uint8, padded
+    cell_ids: np.ndarray           # (nlist, Lpad) int32, -1 = pad
+    cell_sizes: np.ndarray         # (nlist,) int32 (true sizes, <= Lpad)
+    spill_codes: np.ndarray        # (S, M) uint8 (overflow docs)
+    spill_ids: np.ndarray          # (S,) int32
+    centroids: np.ndarray          # (M, K, dsub) f32 PQ codebook
+
+    @property
+    def nlist(self) -> int:
+        return self.coarse_centroids.shape[0]
+
+    @property
+    def Lpad(self) -> int:
+        return self.cell_codes.shape[1]
+
+    @property
+    def ntotal(self) -> int:
+        return int(self.cell_sizes.sum()) + len(self.spill_ids)
+
+    def set_centroids(self, centroids) -> None:
+        """Stage-2 codebook swap (reference: replace_pq_centroids,
+        run_repconc_eval.py:123-127) — just replace the array."""
+        self.centroids = np.asarray(centroids, dtype=np.float32)
+
+    # -- persistence ------------------------------------------------------
+    def save(self, out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        np.savez(
+            os.path.join(out_dir, "ivf_index.npz"),
+            coarse_centroids=self.coarse_centroids,
+            cell_codes=self.cell_codes,
+            cell_ids=self.cell_ids,
+            cell_sizes=self.cell_sizes,
+            spill_codes=self.spill_codes,
+            spill_ids=self.spill_ids,
+            centroids=self.centroids,
+        )
+
+    @classmethod
+    def load(cls, load_dir: str) -> "IVFIndex":
+        z = np.load(os.path.join(load_dir, "ivf_index.npz"))
+        return cls(**{k: z[k] for k in z.files})
+
+
+def build_ivf(
+    corpus_embeds: np.ndarray,
+    codes: np.ndarray,
+    pq_centroids: np.ndarray,
+    nlist: int = 4096,
+    pad_quantile: float = 0.995,
+    kmeans_iters: int = 20,
+    max_train_points: int = 1 << 18,
+    seed: int = 2022,
+    assign_chunk: int = 1 << 16,
+) -> IVFIndex:
+    """Build the inverted file.
+
+    corpus_embeds: (N, D) ROTATED corpus embeddings (the space the PQ codes
+    live in); codes: (N, M) uint8 flat PQ codes; pq_centroids: (M, K, dsub).
+    """
+    from repconc_tpu.index.opq import subsample_for_training
+
+    N, D = corpus_embeds.shape
+    nlist = min(nlist, N)
+    train = subsample_for_training(corpus_embeds, max_train_points, seed)
+    logger.info("IVF coarse k-means: nlist=%d on %d train points", nlist, len(train))
+    coarse, _ = kmeans_fit(jnp.asarray(train, jnp.float32), nlist,
+                           iters=kmeans_iters, key=jax.random.key(seed))
+    coarse = np.asarray(coarse)
+
+    # assign every doc to its nearest cell, chunked
+    cells = np.empty(N, dtype=np.int32)
+    coarse_dev = jnp.asarray(coarse)
+    assign_j = jax.jit(assign)
+    for start in range(0, N, assign_chunk):
+        stop = min(start + assign_chunk, N)
+        cells[start:stop] = np.asarray(
+            assign_j(jnp.asarray(corpus_embeds[start:stop]), coarse_dev))
+
+    sizes = np.bincount(cells, minlength=nlist)
+    Lpad = int(np.quantile(sizes, pad_quantile))
+    Lpad = max(int(np.ceil(Lpad / 128.0)) * 128, 128)
+    logger.info("list sizes: mean %.1f max %d -> Lpad %d",
+                sizes.mean(), sizes.max(), Lpad)
+
+    M = codes.shape[1]
+    cell_codes = np.zeros((nlist, Lpad, M), dtype=np.uint8)
+    cell_ids = np.full((nlist, Lpad), -1, dtype=np.int32)
+    cell_fill = np.zeros(nlist, dtype=np.int32)
+    spill_codes, spill_ids = [], []
+
+    order = np.argsort(cells, kind="stable")
+    sorted_cells = cells[order]
+    boundaries = np.searchsorted(sorted_cells, np.arange(nlist + 1))
+    for c in range(nlist):
+        members = order[boundaries[c]:boundaries[c + 1]]
+        keep = members[:Lpad]
+        cell_codes[c, :len(keep)] = codes[keep]
+        cell_ids[c, :len(keep)] = keep
+        cell_fill[c] = len(keep)
+        overflow = members[Lpad:]
+        if len(overflow):
+            spill_codes.append(codes[overflow])
+            spill_ids.append(overflow)
+
+    spill_codes = (np.concatenate(spill_codes, axis=0)
+                   if spill_codes else np.zeros((0, M), dtype=np.uint8))
+    spill_ids = (np.concatenate(spill_ids).astype(np.int32)
+                 if spill_ids else np.zeros((0,), dtype=np.int32))
+    logger.info("spill segment: %d docs (%.3f%%)", len(spill_ids),
+                100.0 * len(spill_ids) / max(N, 1))
+    return IVFIndex(
+        coarse_centroids=coarse,
+        cell_codes=cell_codes,
+        cell_ids=cell_ids,
+        cell_sizes=cell_fill,
+        spill_codes=spill_codes,
+        spill_ids=spill_ids.astype(np.int32),
+        centroids=np.asarray(pq_centroids, dtype=np.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("nprobe",))
+def probe_cells(query_embeds, coarse_centroids, nprobe: int):
+    """Top-nprobe cells per query by argmax (q.c - ||c||^2 / 2)."""
+    qc = jnp.dot(query_embeds, coarse_centroids.T,
+                 preferred_element_type=jnp.float32)
+    score = qc - 0.5 * jnp.sum(coarse_centroids ** 2, axis=-1)[None, :]
+    return jax.lax.top_k(score, nprobe)[1].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("nprobe", "topk"))
+def _ivf_search_chunk_xla(
+    lut,                # (Qc, M, K) f32
+    cells,              # (Qc, nprobe) int32
+    cell_codes,         # (nlist, Lpad, M) uint8 (device)
+    cell_ids,           # (nlist, Lpad) int32
+    nprobe: int,
+    topk: int,
+):
+    Qc = lut.shape[0]
+    M = cell_codes.shape[2]
+    Lpad = cell_codes.shape[1]
+
+    codes_g = jnp.take(cell_codes, cells, axis=0).astype(jnp.int32)
+    ids_g = jnp.take(cell_ids, cells, axis=0)       # (Qc, nprobe, Lpad)
+    codes_flat = codes_g.reshape(Qc, nprobe * Lpad, M)
+    ids_flat = ids_g.reshape(Qc, nprobe * Lpad)
+
+    def body(acc, m):
+        table_m = lut[:, m, :]                       # (Qc, K)
+        idx_m = codes_flat[:, :, m]                  # (Qc, P)
+        vals = jax.vmap(jnp.take)(table_m, idx_m)    # per-query row gather
+        return acc + vals, None
+
+    acc = jnp.zeros(ids_flat.shape, dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(M))
+    acc = jnp.where(ids_flat >= 0, acc, -jnp.inf)
+
+    k = min(topk, acc.shape[1])
+    s, pos = jax.lax.top_k(acc, k)
+    ids = jnp.take_along_axis(ids_flat, pos, axis=1)
+    return s, ids
+
+
+def search_xla(
+    index: IVFIndex,
+    query_embeds: np.ndarray,
+    topk: int = 1000,
+    nprobe: int = 64,
+    query_chunk: int = 128,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference IVF search (XLA everywhere). Returns (scores, DOC ROW IDS).
+
+    Doc ids returned are row indices into the original corpus (as built),
+    matching flat adc_search's contract.
+    """
+    from repconc_tpu.index.adc import adc_search
+
+    nprobe = min(nprobe, index.nlist)
+    q = jnp.asarray(query_embeds, dtype=jnp.float32)
+    cent = jnp.asarray(index.centroids)
+    coarse = jnp.asarray(index.coarse_centroids)
+    cell_codes = jnp.asarray(index.cell_codes)
+    cell_ids = jnp.asarray(index.cell_ids)
+
+    all_s, all_i = [], []
+    for start in range(0, q.shape[0], query_chunk):
+        stop = min(start + query_chunk, q.shape[0])
+        qc = q[start:stop]
+        real = qc.shape[0]
+        if real < query_chunk:
+            qc = jnp.pad(qc, ((0, query_chunk - real), (0, 0)))
+        lut = build_lut(qc, cent)
+        cells = probe_cells(qc, coarse, nprobe)
+        s, i = _ivf_search_chunk_xla(lut, cells, cell_codes, cell_ids,
+                                     nprobe, topk)
+        all_s.append(np.asarray(s[:real]))
+        all_i.append(np.asarray(i[:real]))
+    scores = np.concatenate(all_s, axis=0)
+    ids = np.concatenate(all_i, axis=0)
+
+    # spill segment: brute-force and merge
+    if len(index.spill_ids):
+        s_sp, i_sp = adc_search(query_embeds, index.spill_codes,
+                                index.centroids,
+                                topk=min(topk, len(index.spill_ids)))
+        ids_sp = index.spill_ids[i_sp]
+        scores = np.concatenate([scores, s_sp], axis=1)
+        ids = np.concatenate([ids, ids_sp], axis=1)
+        order = np.argsort(-scores, axis=1)[:, :topk]
+        scores = np.take_along_axis(scores, order, axis=1)
+        ids = np.take_along_axis(ids, order, axis=1)
+    return scores, ids

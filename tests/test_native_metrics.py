@@ -1,0 +1,57 @@
+"""C++ native metrics must match the Python implementation exactly."""
+import numpy as np
+import pytest
+
+from repconc_tpu import native
+from repconc_tpu.eval.trec import evaluate_run
+
+
+@pytest.fixture(scope="module")
+def native_mod():
+    mod = native.load()
+    if mod is None:
+        pytest.skip("no C++ toolchain available")
+    return mod
+
+
+def make_files(tmp_path, rng, nq=50, ndocs=500, per_q=100):
+    qrel_path = tmp_path / "qrels.txt"
+    run_path = tmp_path / "run.tsv"
+    with open(qrel_path, "w") as f:
+        for q in range(nq):
+            for d in rng.choice(ndocs, size=rng.integers(1, 6), replace=False):
+                f.write(f"q{q} 0 d{d} {rng.integers(1, 4)}\n")
+    with open(run_path, "w") as f:
+        for q in range(nq):
+            docs = rng.choice(ndocs, size=per_q, replace=False)
+            scores = np.round(rng.normal(size=per_q), 2)  # force some ties
+            order = np.argsort(-scores)
+            for r, j in enumerate(order):
+                f.write(f"q{q}\tQ0\td{docs[j]}\t{r+1}\t{scores[j]}\tSys\n")
+    return str(qrel_path), str(run_path)
+
+
+def test_parity_with_python(native_mod, tmp_path, rng):
+    qrel_path, run_path = make_files(tmp_path, rng)
+    ks, mrrs = (1, 3, 5, 10, 100), (10, 100)
+    got = native_mod.evaluate_files(qrel_path, run_path, ks, mrrs, 1)
+    want = evaluate_run(qrel_path, run_path, ks, mrrs, 1)
+    for group in ("ndcg", "map", "recall", "precision", "mrr"):
+        for key, v in want[group].items():
+            assert abs(got[group][key] - v) < 1e-9, (group, key, got[group][key], v)
+    assert got["num_queries"] == len(want["perquery"])
+
+
+def test_parity_relevance_level(native_mod, tmp_path, rng):
+    qrel_path, run_path = make_files(tmp_path, rng, nq=20)
+    got = native_mod.evaluate_files(qrel_path, run_path, (5, 10), (10,), 2)
+    want = evaluate_run(qrel_path, run_path, (5, 10), (10,), 2)
+    for group in ("map", "recall", "precision", "mrr", "ndcg"):
+        for key, v in want[group].items():
+            assert abs(got[group][key] - v) < 1e-9, (group, key)
+
+
+def test_wrapper_fallback(tmp_path, rng):
+    qrel_path, run_path = make_files(tmp_path, rng, nq=5)
+    m = native.evaluate_files(qrel_path, run_path, (10,), (10,))
+    assert "MRR@10" in m["mrr"]
