@@ -1,52 +1,54 @@
-"""Benchmark: ADC (PQ) retrieval throughput on one TPU chip.
+"""Benchmark: IVF-PQ retrieval throughput on one TPU chip.
 
-Measures the serving hot path — batched top-k ADC search over a
-device-resident PQ code index via the Pallas one-hot MXU kernel (reference
-hot path: faiss GPU IVFPQ scan, evaluate_repconc.py:180-206; the reference's
-defaults search_batch=1200, topk=1000 are used).
+Measures the serving hot path — batched top-k search over a device-resident
+IVF-PQ index (nlist=4096, nprobe=64, ~1M docs, M=48) via the cell-grouped
+Pallas kernel. This is the BASELINE.json headline metric ("IVF queries/sec/
+chip"); the reference's own deployed configuration is a faiss GPU brute-force
+PQ scan (it sets nlist=1, evaluate_repconc.py:101-118) with search_batch=1200
+and topk=1000 (its defaults, used here).
 
-Timing is device-side: completion is forced by a scalar readback, because
-this environment's device->host tunnel moves bulk results at ~9 MB/s (an
-infrastructure artifact unrelated to retrieval compute).
+The index layout is synthetic (uniform cells, random codes): throughput
+depends on layout shape, not code values. Timing is device-side with a
+scalar-readback completion barrier (this environment's device<->host tunnel
+moves bulk data at ~10 MB/s — an infrastructure artifact).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-vs_baseline normalizes against BASELINE_QPS, an estimate of the reference's
-faiss-GPU brute-force PQ scan throughput at the same (N=1M, M=48, topk=1000)
-on its published hardware (V100). The reference repo publishes no raw QPS
-table (SURVEY.md §6), so this constant is a documented assumption.
+vs_baseline divides by BASELINE_QPS, an assumed faiss-GPU (V100) brute PQ48
+scan rate at 1M docs — the reference publishes no raw QPS table (SURVEY.md §6).
 """
 import json
 import time
 
 import numpy as np
 
-N_DOCS = 1_000_000
-M = 48
-K = 256
-DSUB = 16  # hidden 768
-N_QUERIES = 1200   # reference search_batch default
-TOPK = 1000        # reference topk default
-BASELINE_QPS = 1500.0  # assumed faiss-GPU PQ48 brute-force scan @1M docs
+D, M, K = 768, 48, 256
+NLIST, LPAD = 4096, 256          # ~1.05M docs
+N_QUERIES, TOPK, NPROBE = 1200, 1000, 64
+BASELINE_QPS = 1500.0
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from repconc_tpu.index.pallas_adc import PallasADCIndex
+    from repconc_tpu.index.ivf import IVFIndex
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex
 
     rng = np.random.default_rng(0)
-    codes = rng.integers(0, K, size=(N_DOCS, M), dtype=np.uint8)
-    centroids = rng.normal(size=(M, K, DSUB)).astype(np.float32)
-    queries = rng.normal(size=(N_QUERIES, M * DSUB)).astype(np.float32)
-
-    index = PallasADCIndex(codes, centroids)
+    index = IVFIndex(
+        coarse_centroids=rng.normal(size=(NLIST, D)).astype(np.float32),
+        cell_codes=rng.integers(0, K, size=(NLIST, LPAD, M), dtype=np.uint8),
+        cell_ids=np.arange(NLIST * LPAD, dtype=np.int32).reshape(NLIST, LPAD),
+        cell_sizes=np.full(NLIST, LPAD, dtype=np.int32),
+        spill_codes=np.zeros((0, M), np.uint8),
+        spill_ids=np.zeros((0,), np.int32),
+        centroids=rng.normal(size=(M, K, D // M)).astype(np.float32),
+    )
+    pidx = PallasIVFIndex(index)
+    queries = jnp.asarray(rng.normal(size=(N_QUERIES, D)).astype(np.float32))
 
     def run():
-        s, i = index.search_device(queries, topk=TOPK, exact=True)
-        # scalar readback = completion barrier (block_until_ready is
-        # unreliable on the tunneled platform)
+        s, i = pidx.search_device(queries, topk=TOPK, nprobe=NPROBE)
         return float(jnp.sum(s)) + int(i[0, 0])
 
     run()  # compile
@@ -58,7 +60,7 @@ def main():
     qps = N_QUERIES / min(times)
 
     print(json.dumps({
-        "metric": f"adc_pq{M}_exact_qps_1M_top{TOPK}",
+        "metric": f"ivfpq{M}_nlist{NLIST}_nprobe{NPROBE}_qps_1M_top{TOPK}",
         "value": round(qps, 2),
         "unit": "queries/s/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 3),

@@ -46,6 +46,13 @@ def build_parser():
     parser.add_argument("--search_batch", type=int, default=1200)
     parser.add_argument("--adapter", default=None,
                         help="custom model adapter (e.g. ance, tct)")
+    parser.add_argument("--index_type", default="flat", choices=["flat", "ivf"])
+    parser.add_argument("--nlist", type=int, default=4096)
+    parser.add_argument("--nprobe", type=int, default=64)
+    parser.add_argument("--corpus_embed_path", default=None,
+                        help="rotated corpus embeddings (.npy) for IVF coarse "
+                             "training; required for --index_type ivf unless "
+                             "the IVF index is already cached")
     return parser
 
 
@@ -117,9 +124,37 @@ def main(argv=None):
 
     # --- search with the QUERY model's centroids (stage-2 swap semantics) ---
     centroids = np.asarray(q_params["centroids"])
-    scores, topk_ids = batch_adc_search(
-        query_ids, query_embeds, corpus_ids, codes, centroids,
-        topk=args.topk, batch_size=args.search_batch)
+    if args.index_type == "ivf":
+        from repconc_tpu.index.ivf import IVFIndex, build_ivf, search_xla
+
+        ivf_path = os.path.join(args.out_corpus_dir, "ivf_index.npz")
+        if os.path.exists(ivf_path):
+            ivf = IVFIndex.load(args.out_corpus_dir)
+        else:
+            assert args.corpus_embed_path, \
+                "--corpus_embed_path needed to build the IVF coarse quantizer"
+            # coarse training happens in the ROTATED space (where codes and
+            # query embeddings live); dense corpus_embeds.npy is pre-rotation
+            d_config, d_params, _ = load_model_and_tokenizer(doc_dir, args.adapter)
+            rotation = np.asarray(d_params["rotation"])
+            corpus_embeds = np.load(args.corpus_embed_path) @ rotation.T
+            if d_config.similarity_metric == "METRIC_CENTROID_COS":
+                import jax.numpy as jnp
+
+                from repconc_tpu.quant.codebook import normalize_subvectors
+
+                corpus_embeds = np.asarray(normalize_subvectors(
+                    jnp.asarray(corpus_embeds), d_config.MCQ_M))
+            ivf = build_ivf(corpus_embeds, codes, centroids, nlist=args.nlist)
+            ivf.save(args.out_corpus_dir)
+        ivf.set_centroids(centroids)
+        scores, row_ids = search_xla(ivf, query_embeds, topk=args.topk,
+                                     nprobe=args.nprobe)
+        topk_ids = corpus_ids[row_ids]
+    else:
+        scores, topk_ids = batch_adc_search(
+            query_ids, query_embeds, corpus_ids, codes, centroids,
+            topk=args.topk, batch_size=args.search_batch)
     out_run_path = os.path.join(args.out_query_dir, "run.tsv")
     write_run_tsv(out_run_path, query_ids, scores, topk_ids)
 

@@ -123,6 +123,9 @@ def build_ivf(
 
     sizes = np.bincount(cells, minlength=nlist)
     Lpad = int(np.quantile(sizes, pad_quantile))
+    # cap against pathological imbalance: very long lists spill instead of
+    # inflating every cell's padding (and the serving kernel's work)
+    Lpad = min(Lpad, int(4 * max(sizes.mean(), 1)))
     Lpad = max(int(np.ceil(Lpad / 128.0)) * 128, 128)
     logger.info("list sizes: mean %.1f max %d -> Lpad %d",
                 sizes.mean(), sizes.max(), Lpad)

@@ -32,28 +32,34 @@ from repconc_tpu.index.pallas_adc import _group_size, permute_lut
 QT_G = 32  # query slots per work tile (MXU row occupancy vs pair padding)
 
 
+L_SUB = 512  # list sub-tile: bounds the VMEM one-hot regardless of Lpad
+
+
 def _ivf_kernel(gm: int, K: int, work_ref, lut_ref, codes_ref, out_ref):
     """lut_ref: (QT_G, M*K) bf16; codes_ref: (1, Lpad, M) int32 (one cell);
-    out_ref: (1, QT_G, Lpad) f32."""
-    codes = codes_ref[0]                  # (Lpad, M)
-    Lpad, M = codes.shape
+    out_ref: (1, QT_G, Lpad) f32. Sub-tiles the list dimension so the
+    in-VMEM one-hot stays (L_SUB, gm*K) even for long posting lists."""
+    Lpad, M = codes_ref.shape[1], codes_ref.shape[2]
     G = M // gm
     lanes = gm * K
+    sub = min(L_SUB, Lpad)
 
-    acc = jnp.zeros((out_ref.shape[1], Lpad), dtype=jnp.float32)
-    for g in range(G):
-        cols = codes[:, g * gm:(g + 1) * gm]
-        expanded = pltpu.repeat(cols, K, axis=1)          # (Lpad, gm*K)
-        k_of_lane = jax.lax.broadcasted_iota(
-            jnp.int32, (Lpad, lanes), dimension=1) // gm
-        onehot = (expanded == k_of_lane).astype(jnp.bfloat16)
-        lut_g = lut_ref[:, g * lanes:(g + 1) * lanes]
-        acc = acc + jax.lax.dot_general(
-            lut_g, onehot,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[0] = acc
+    for s0 in range(0, Lpad, sub):
+        codes = codes_ref[0, s0:s0 + sub, :]              # (sub, M)
+        acc = jnp.zeros((out_ref.shape[1], sub), dtype=jnp.float32)
+        for g in range(G):
+            cols = codes[:, g * gm:(g + 1) * gm]
+            expanded = pltpu.repeat(cols, K, axis=1)      # (sub, gm*K)
+            k_of_lane = jax.lax.broadcasted_iota(
+                jnp.int32, (sub, lanes), dimension=1) // gm
+            onehot = (expanded == k_of_lane).astype(jnp.bfloat16)
+            lut_g = lut_ref[:, g * lanes:(g + 1) * lanes]
+            acc = acc + jax.lax.dot_general(
+                lut_g, onehot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, :, s0:s0 + sub] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("K",))

@@ -179,6 +179,22 @@ def test_full_pipeline(env):
     jpq_metrics = json.load(open(root / "jpq_eval" / "dev" / "metric.json"))
     assert "MRR@10" in jpq_metrics["mrr"]
 
+    # IVF-indexed eval of the same model (beyond-reference path)
+    run_repconc_eval.main([
+        "--model_name_or_path", str(root / "conc_out" / "final"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--query_path", str(data / "queries.tsv"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--out_corpus_dir", str(root / "conc_eval"),
+        "--out_query_dir", str(root / "ivf_eval" / "dev"),
+        "--max_seq_length", "32", "--topk", "20",
+        "--index_type", "ivf", "--nlist", "16", "--nprobe", "16",
+        "--corpus_embed_path", str(root / "dense_out" / "corpus_embeds.npy")])
+    ivf_metrics = json.load(open(root / "ivf_eval" / "dev" / "metric.json"))
+    # full probe (nprobe == nlist): metrics match the flat eval exactly
+    assert ivf_metrics["mrr"]["MRR@10"] == conc_metrics["mrr"]["MRR@10"], \
+        (ivf_metrics["mrr"], conc_metrics["mrr"])
+
     # caching: rerunning stage 8 must be a no-op (skip-if-exists)
     run_repconc_eval.main([
         "--model_name_or_path", str(root / "conc_out" / "final"),
