@@ -1,0 +1,110 @@
+"""Mesh-sharded inference: corpus-sharded search + data-parallel encoding.
+
+The reference's multi-GPU inference story is HF Trainer DDP sharding
+(each rank encodes a slice, predictions gathered to rank 0,
+evaluate_repconc.py:147-153) and a REPLICATED faiss GPU index
+(GpuMultipleClonerOptions(shard=False), evaluate_repconc.py:131-134).
+Here both axes are one SPMD program:
+
+* encoding: the batch is sharded over the mesh's `dp` axis (jit with
+  in_shardings) — no gather choreography, XLA handles placement;
+* search: the CODE MATRIX is sharded over the corpus dimension — each
+  device scans its shard, produces a local top-k, and one `all_gather` +
+  re-top-k merges. Index memory scales with the mesh (an 8.8M-doc M=48
+  index is ~53MB/device on 8 devices), unlike the reference's replication.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from repconc_tpu.core.mesh import DATA_AXIS
+
+
+def _local_topk_merge(scores_local, base_offsets, topk: int, axis_name: str):
+    """Local (Q, topk) -> global (Q, topk) via all_gather + re-top-k."""
+    s, i = jax.lax.top_k(scores_local, topk)
+    i = i + base_offsets
+    all_s = jax.lax.all_gather(s, axis_name, axis=1, tiled=True)  # (Q, W*topk)
+    all_i = jax.lax.all_gather(i, axis_name, axis=1, tiled=True)
+    ms, pos = jax.lax.top_k(all_s, topk)
+    return ms, jnp.take_along_axis(all_i, pos, axis=1)
+
+
+def sharded_flat_search(
+    mesh: Mesh,
+    query_embeds,
+    corpus_embeds,
+    topk: int = 1000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact inner-product search with the corpus sharded over the mesh.
+
+    corpus_embeds: (N, D) with N % mesh.size == 0 (pad with -inf-normed rows
+    if needed — caller's responsibility for exactness at the tail).
+    """
+    axis = mesh.axis_names[0]
+    n_local = corpus_embeds.shape[0] // mesh.size
+    topk = min(topk, n_local)
+
+    def local_fn(q, c_shard):
+        scores = jnp.dot(q, c_shard.T, preferred_element_type=jnp.float32)
+        base = jax.lax.axis_index(axis) * n_local
+        return _local_topk_merge(scores, base, topk, axis)
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(), P(axis)),
+                   out_specs=(P(), P()), check_vma=False)
+    q = jnp.asarray(query_embeds, dtype=jnp.float32)
+    c = jnp.asarray(corpus_embeds, dtype=jnp.float32)
+    s, i = jax.jit(fn)(q, c)
+    return np.asarray(s), np.asarray(i)
+
+
+def sharded_adc_search(
+    mesh: Mesh,
+    query_embeds,
+    codes,
+    centroids,
+    topk: int = 1000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """ADC top-k with the code matrix sharded over the corpus dimension.
+
+    codes: (N, M) with N % mesh.size == 0. Uses the XLA scoring path inside
+    shard_map (portable); on multi-TPU the same merge structure applies to
+    the Pallas kernel.
+    """
+    from repconc_tpu.index.adc import build_lut, score_codes
+
+    axis = mesh.axis_names[0]
+    n_local = codes.shape[0] // mesh.size
+    topk = min(topk, n_local)
+    lut = build_lut(jnp.asarray(query_embeds, jnp.float32),
+                    jnp.asarray(centroids, jnp.float32))
+
+    def local_fn(lut_, codes_shard):
+        scores = score_codes(lut_, codes_shard.astype(jnp.int32))
+        base = jax.lax.axis_index(axis) * n_local
+        return _local_topk_merge(scores, base, topk, axis)
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(), P(axis)),
+                   out_specs=(P(), P()), check_vma=False)
+    s, i = jax.jit(fn)(lut, jnp.asarray(np.asarray(codes).astype(np.int32)))
+    return np.asarray(s), np.asarray(i)
+
+
+def sharded_encode_fn(mesh: Mesh, encode_fn: Callable) -> Callable:
+    """Wrap a (params, ids, mask) -> embeds function so the batch shards
+    over the mesh's data axis (the SPMD replacement for the reference's
+    DDP predict sharding)."""
+    axis = mesh.axis_names[0]
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+    return jax.jit(encode_fn, in_shardings=(repl, data, data),
+                   out_shardings=data)

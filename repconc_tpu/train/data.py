@@ -100,16 +100,18 @@ class QDRelDataset:
             assert self.negative_per_query == 0
             data["neg_docids"], data["neg_docs"] = [], []
         else:
-            if self.negative == "random":
+            pool = (None if self.negative == "random"
+                    else self.negative.get(qoffset))
+            if pool is None:
+                # random negatives; also the fallback for queries absent
+                # from the hard-negative file
                 neg_docids = rng.sample(range(len(self.corpus)),
                                         self.negative_per_query)
-            else:
-                pool = self.negative[qoffset]
-                if len(pool) >= self.negative_per_query:
-                    neg_docids = rng.sample(pool, self.negative_per_query)
-                else:  # degenerate pool: sample with replacement
-                    neg_docids = [rng.choice(pool)
-                                  for _ in range(self.negative_per_query)]
+            elif len(pool) >= self.negative_per_query:
+                neg_docids = rng.sample(pool, self.negative_per_query)
+            else:  # degenerate pool: sample with replacement
+                neg_docids = [rng.choice(pool)
+                              for _ in range(self.negative_per_query)]
             data["neg_docids"] = neg_docids
             data["neg_docs"] = [self.corpus[d] for d in neg_docids]
         return data
