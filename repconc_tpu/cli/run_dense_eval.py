@@ -40,21 +40,23 @@ def build_parser():
     parser.add_argument("--per_device_eval_batch_size", type=int, default=256)
     parser.add_argument("--topk", type=int, default=100)
     parser.add_argument("--search_batch", type=int, default=1200)
+    parser.add_argument("--adapter", default=None,
+                        help="custom model adapter (e.g. ance, tct)")
     parser.add_argument("--save_corpus_embed", action="store_true")
     parser.add_argument("--save_query_embed", action="store_true")
     return parser
 
 
 def load_model(args):
-    from transformers import AutoTokenizer
-
     from repconc_tpu.core.config import RepConcConfig
+    from repconc_tpu.models.adapters import load_adapter_tokenizer
     from repconc_tpu.models.auto import load_dense_encoder
     from repconc_tpu.models import repconc_model
     import jax
 
-    tokenizer = AutoTokenizer.from_pretrained(args.model_name_or_path)
-    enc_cfg, enc_params, metric = load_dense_encoder(args.model_name_or_path)
+    tokenizer = load_adapter_tokenizer(args.model_name_or_path, args.adapter)
+    enc_cfg, enc_params, metric = load_dense_encoder(args.model_name_or_path,
+                                                     adapter=args.adapter)
     if args.pooling:
         enc_cfg.pooling = args.pooling
     if args.similarity_metric:

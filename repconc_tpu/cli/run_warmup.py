@@ -43,6 +43,7 @@ def build_parser():
     parser.add_argument("--opq_pq_iters", type=int, default=4)
     parser.add_argument("--final_pq_iters", type=int, default=25)
     parser.add_argument("--max_train_points", type=int, default=1 << 18)
+    parser.add_argument("--adapter", default=None)
     parser.add_argument("--seed", type=int, default=2022)
     return parser
 
@@ -54,7 +55,7 @@ def main(argv=None):
     config, params = repconc_model.from_dense_encoder(
         args.model_name_or_path, MCQ_M=args.MCQ_M, MCQ_K=args.MCQ_K,
         similarity_metric=args.similarity_metric, pooling=args.pooling,
-        key=jax.random.key(args.seed))
+        key=jax.random.key(args.seed), adapter=args.adapter)
 
     corpus_embeds = np.load(args.input_corpus_embed_path)
     params, codes = warmup_from_embeds(

@@ -169,11 +169,18 @@ def build_ivf(
 
 @partial(jax.jit, static_argnames=("nprobe",))
 def probe_cells(query_embeds, coarse_centroids, nprobe: int):
-    """Top-nprobe cells per query by argmax (q.c - ||c||^2 / 2)."""
+    """Top-nprobe cells per query by argmax (q.c - ||c||^2 / 2).
+
+    approx_max_k at recall 1.0 = exact via the TPU PartialReduce op
+    (lax.top_k's sort lowering is ~10x slower here)."""
     qc = jnp.dot(query_embeds, coarse_centroids.T,
                  preferred_element_type=jnp.float32)
     score = qc - 0.5 * jnp.sum(coarse_centroids ** 2, axis=-1)[None, :]
-    return jax.lax.top_k(score, nprobe)[1].astype(jnp.int32)
+    if nprobe >= score.shape[1]:
+        return jnp.broadcast_to(
+            jnp.arange(score.shape[1], dtype=jnp.int32)[None, :],
+            (score.shape[0], score.shape[1])).astype(jnp.int32)
+    return jax.lax.approx_max_k(score, nprobe, recall_target=1.0)[1].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("nprobe", "topk"))

@@ -130,12 +130,15 @@ def _ivf_search_device(
     work_cell = jnp.zeros((T_max,), dtype=jnp.int32)
     work_cell = work_cell.at[work_id].set(sc)                   # last write wins (same cell)
 
-    # ---- LUT rows (scatter into work-tile layout) -----------------------
+    # ---- LUT rows in work-tile layout ------------------------------------
+    # scatter only the SMALL row->query map, then materialize the big array
+    # with a gather (TPU scatters of wide rows are ~20x slower than gathers)
     lut = permute_lut(build_lut(query_embeds, pq_centroids), gm)  # (Q, MK) f32
     lut = lut.astype(jnp.bfloat16)
     MK = lut.shape[1]
-    lut_rows = jnp.zeros((T_max * QT_G, MK), dtype=jnp.bfloat16)
-    lut_rows = lut_rows.at[row].set(jnp.take(lut, sq, axis=0))
+    q_of_row = jnp.full((T_max * QT_G,), Q, dtype=jnp.int32).at[row].set(sq)
+    lut_z = jnp.concatenate([lut, jnp.zeros((1, MK), jnp.bfloat16)], axis=0)
+    lut_rows = jnp.take(lut_z, q_of_row, axis=0)
 
     # ---- score all work tiles on the MXU --------------------------------
     scores = _score_work_tiles(work_cell, lut_rows, cell_codes_i32, K)

@@ -168,11 +168,18 @@ def convert_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[st
     return params
 
 
-def load_dense_encoder(model_dir: str) -> Tuple[EncoderConfig, Dict[str, Any], str]:
-    """Load (EncoderConfig, flax params, similarity_metric) from an HF dir."""
+def load_dense_encoder(
+    model_dir: str, adapter: Optional[str] = None
+) -> Tuple[EncoderConfig, Dict[str, Any], str]:
+    """Load (EncoderConfig, flax params, similarity_metric) from an HF dir.
+
+    `adapter` forces a custom-model architecture variant (e.g. "ance", "tct")
+    regardless of the checkpoint's declared model_type — real ANCE/TCT
+    checkpoints declare plain roberta/bert (reference handles this with
+    separate encoder classes, examples/ance/modeling_ance.py:12)."""
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    cfg = encoder_config_from_hf(hf)
+    cfg = encoder_config_from_hf(hf, model_type=adapter)
     sd = _load_state_dict(model_dir)
     params = convert_hf_weights(sd, cfg)
     metric = hf.get("similarity_metric", "METRIC_IP")

@@ -137,10 +137,11 @@ def from_dense_encoder(
     sk_epsilon: float = 0.003,
     sk_iters: int = 100,
     key: Optional[jax.Array] = None,
+    adapter: Optional[str] = None,
 ):
     """Build a fresh RepCONC model around an HF dense-encoder checkpoint
     (reference: run_warmup.py:156-174)."""
-    enc_cfg, enc_params, metric = load_dense_encoder(model_dir)
+    enc_cfg, enc_params, metric = load_dense_encoder(model_dir, adapter=adapter)
     if pooling is not None:
         enc_cfg.pooling = pooling
     config = RepConcConfig(
