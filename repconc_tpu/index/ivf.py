@@ -96,20 +96,32 @@ def build_ivf(
     max_train_points: int = 1 << 18,
     seed: int = 2022,
     assign_chunk: int = 1 << 16,
+    balanced: bool = False,
 ) -> IVFIndex:
     """Build the inverted file.
 
     corpus_embeds: (N, D) ROTATED corpus embeddings (the space the PQ codes
     live in); codes: (N, M) uint8 flat PQ codes; pq_centroids: (M, K, dsub).
+    balanced=True trains the coarse quantizer with the Sinkhorn uniform-
+    assignment constraint (RepCONC's own constrained-clustering idea applied
+    to the IVF level) — near-uniform list sizes, tight Lpad, little spill.
     """
     from repconc_tpu.index.opq import subsample_for_training
 
     N, D = corpus_embeds.shape
     nlist = min(nlist, N)
     train = subsample_for_training(corpus_embeds, max_train_points, seed)
-    logger.info("IVF coarse k-means: nlist=%d on %d train points", nlist, len(train))
-    coarse, _ = kmeans_fit(jnp.asarray(train, jnp.float32), nlist,
-                           iters=kmeans_iters, key=jax.random.key(seed))
+    logger.info("IVF coarse k-means: nlist=%d on %d train points (balanced=%s)",
+                nlist, len(train), balanced)
+    if balanced:
+        from repconc_tpu.index.kmeans import balanced_kmeans_fit
+
+        coarse, _ = balanced_kmeans_fit(jnp.asarray(train, jnp.float32), nlist,
+                                        iters=kmeans_iters,
+                                        key=jax.random.key(seed))
+    else:
+        coarse, _ = kmeans_fit(jnp.asarray(train, jnp.float32), nlist,
+                               iters=kmeans_iters, key=jax.random.key(seed))
     coarse = np.asarray(coarse)
 
     # assign every doc to its nearest cell, chunked

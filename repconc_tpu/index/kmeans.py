@@ -139,6 +139,44 @@ def kmeans_fit_from(
     return centroids, mse
 
 
+def balanced_kmeans_fit(
+    x: jnp.ndarray,
+    K: int,
+    iters: int = 25,
+    key: Optional[jax.Array] = None,
+    sk_epsilon: float = 0.05,
+    sk_iters: int = 30,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Balanced k-means: Lloyd updates under a Sinkhorn uniform-assignment
+    constraint — the same constrained-clustering idea RepCONC applies to PQ
+    codebooks, reused for the IVF coarse quantizer. Near-uniform cluster
+    sizes mean tight static posting-list padding on TPU (small Lpad, little
+    waste, no spill blowup). Returns (centroids (K, d), balanced mse)."""
+    from repconc_tpu.quant.sinkhorn import sinkhorn_assign
+
+    if key is None:
+        key = jax.random.key(2022)
+    centroids = kmeans_plusplus_init(x, K, key)
+
+    def body(carry, _):
+        cent, _ = carry
+        x_sq = jnp.sum(x * x, axis=-1, keepdims=True)
+        c_sq = jnp.sum(cent * cent, axis=-1)
+        xc = jnp.dot(x, cent.T, preferred_element_type=jnp.float32,
+                     precision=_HIGH)
+        dist = x_sq - 2.0 * xc + c_sq[None, :]          # (N, K)
+        codes = sinkhorn_assign(dist[None], sk_epsilon, sk_iters)[:, 0]  # (N,)
+        sums, counts = _accumulate(x, codes, K)
+        cent = sums / jnp.maximum(counts, 1.0)[:, None]
+        rec = jnp.take(cent, codes, axis=0)
+        mse = jnp.mean(jnp.sum((x - rec) ** 2, axis=-1))
+        return (cent, mse), None
+
+    (centroids, mse), _ = jax.lax.scan(
+        body, (centroids, jnp.asarray(0.0, jnp.float32)), None, length=iters)
+    return centroids, mse
+
+
 def pq_fit(
     x: jnp.ndarray,
     M: int,

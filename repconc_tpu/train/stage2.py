@@ -55,6 +55,7 @@ class Stage2Hparams:
     dynamic_topk_negative: int = 200
     temperature: float = 1.0
     max_grad_norm: float = 1.0
+    use_pallas_search: Optional[bool] = None  # None = auto (TPU and N>=100k)
     seed: int = 2023
     logging_steps: int = 20
     eval_steps: int = 0
@@ -73,9 +74,45 @@ class Stage2Hparams:
 
 def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes):
     """codes: (N, M) frozen doc codes, device-resident (uint8 -> int32)."""
-    codes = jnp.asarray(np.asarray(codes).astype(np.int32))
+    N = codes.shape[0]
     mcc = config.similarity_metric == METRIC_CENTROID_COS
     k = hp.dynamic_topk_negative
+
+    use_pallas = hp.use_pallas_search
+    if use_pallas is None:
+        use_pallas = (jax.devices()[0].platform != "cpu") and N >= 100_000
+    if use_pallas:
+        from repconc_tpu.index import pallas_adc
+
+        def _round_up(n, m):
+            return ((n + m - 1) // m) * m
+
+        chunk = min(1 << 17, _round_up(N, pallas_adc.DOC_TILE))
+        npad = _round_up(N, chunk)
+        padded = np.zeros((npad, codes.shape[1]), dtype=np.int32)
+        padded[:N] = np.asarray(codes)
+        codes = jnp.asarray(padded)
+        gm = pallas_adc._group_size(codes.shape[1], config.MCQ_K)
+    else:
+        codes = jnp.asarray(np.asarray(codes).astype(np.int32))
+
+    def retrieve(q_detached, centroids):
+        """Top-k dynamic hard negatives; the whole search is gradient-free
+        (the reference searches a DETACHED faiss copy, finetune_jpq.py:176)."""
+        centroids = jax.lax.stop_gradient(centroids)
+        if use_pallas:
+            lut = build_lut(q_detached, centroids)
+            lut_perm = pallas_adc.permute_lut(lut, gm).astype(jnp.bfloat16)
+            B = lut_perm.shape[0]
+            qpad = (-B) % pallas_adc.QUERY_TILE
+            if qpad:
+                lut_perm = jnp.pad(lut_perm, ((0, qpad), (0, 0)))
+            _, pids = pallas_adc._search_device(
+                lut_perm, codes, N, k, config.MCQ_K, chunk, False)
+            return pids[:B]
+        lut = build_lut(q_detached, centroids)
+        all_scores = score_codes(lut, codes)  # (B, N)
+        return jax.lax.top_k(all_scores, k)[1]
 
     def loss_fn(params, batch, dropout_rng):
         q_embeds = repconc_model.encode_continuous(
@@ -85,9 +122,7 @@ def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes):
 
         # dynamic hard negatives: ADC search against the live centroids
         # (reference does a faiss GPU search per step, finetune_jpq.py:176)
-        lut = build_lut(jax.lax.stop_gradient(q_embeds), centroids)
-        all_scores = score_codes(lut, codes)  # (B, N)
-        neg_pids = jax.lax.top_k(all_scores, k)[1]  # (B, k)
+        neg_pids = retrieve(jax.lax.stop_gradient(q_embeds), centroids)
 
         B = q_embeds.shape[0]
         neg_codes = jnp.take(codes, neg_pids.reshape(-1), axis=0)  # (B*k, M)

@@ -125,3 +125,22 @@ def test_subsample(rng):
     s = subsample_for_training(x, max_points=100)
     assert s.shape == (100, 4)
     assert subsample_for_training(x, max_points=2000) is x
+
+
+def test_balanced_kmeans_uniform_clusters(rng):
+    from repconc_tpu.index.kmeans import balanced_kmeans_fit, assign
+    import jax
+
+    # clumpy data: standard k-means gives very uneven clusters
+    x, _ = clustered_data(rng, K=4, per=200, d=8, spread=0.3)
+    xj = jnp.asarray(x)
+    K = 16
+    std_cent, _ = kmeans_fit(xj, K, iters=15)
+    bal_cent, _ = balanced_kmeans_fit(xj, K, iters=15)
+
+    std_sizes = np.bincount(np.asarray(assign(xj, std_cent)), minlength=K)
+    bal_sizes = np.bincount(np.asarray(assign(xj, bal_cent)), minlength=K)
+    # balanced training tightens the max/mean ratio
+    assert bal_sizes.max() / bal_sizes.mean() < std_sizes.max() / std_sizes.mean(), \
+        (std_sizes.tolist(), bal_sizes.tolist())
+    assert np.isfinite(np.asarray(bal_cent)).all()
