@@ -18,7 +18,10 @@ import numpy as np
 
 @partial(jax.jit, static_argnames=("topk",))
 def _chunk_topk(queries, corpus_chunk, base, topk: int):
-    scores = jnp.dot(queries, corpus_chunk.T, preferred_element_type=jnp.float32)
+    # HIGHEST: the dense baseline's ranking must be exact fp32 (TPU default
+    # precision would score through bf16 and perturb close rankings)
+    scores = jnp.dot(queries, corpus_chunk.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     k = min(topk, corpus_chunk.shape[0])
     s, i = jax.lax.top_k(scores, k)
     return s, i + base

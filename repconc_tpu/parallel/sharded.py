@@ -53,7 +53,8 @@ def sharded_flat_search(
     topk = min(topk, n_local)
 
     def local_fn(q, c_shard):
-        scores = jnp.dot(q, c_shard.T, preferred_element_type=jnp.float32)
+        scores = jnp.dot(q, c_shard.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         base = jax.lax.axis_index(axis) * n_local
         return _local_topk_merge(scores, base, topk, axis)
 

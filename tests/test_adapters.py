@@ -4,6 +4,11 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax
+
+# TPU default matmul precision is bf16-ish: relax parity tolerances there
+_ON_CPU = jax.devices()[0].platform == "cpu"
+PAR_TOL = dict(rtol=2e-4, atol=2e-4) if _ON_CPU else dict(rtol=2e-2, atol=1e-2)
 import jax.numpy as jnp
 
 from repconc_tpu.models.auto import load_dense_encoder
@@ -48,7 +53,7 @@ def test_ance_adapter_dir_load(ance_dir, rng):
         h = backbone(torch.tensor(ids.astype(np.int64)),
                      torch.tensor(mask.astype(np.int64))).last_hidden_state
         theirs = norm(head(h[:, 0])).numpy()
-    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(ours, theirs, **PAR_TOL)
 
 
 def test_tct_tokenizer_protocol(tmp_path, rng):
