@@ -36,7 +36,7 @@ L_SUB = 512  # list sub-tile: bounds the VMEM one-hot regardless of Lpad
 
 
 def _ivf_kernel(gm: int, K: int, work_ref, lut_ref, codes_ref, out_ref):
-    """lut_ref: (QT_G, M*K) bf16; codes_ref: (1, Lpad, M) int32 (one cell);
+    """lut_ref: (QT_G, M*K) bf16; codes_ref: (1, Lpad, M) uint8 (one cell);
     out_ref: (1, QT_G, Lpad) f32. Sub-tiles the list dimension so the
     in-VMEM one-hot stays (L_SUB, gm*K) even for long posting lists."""
     Lpad, M = codes_ref.shape[1], codes_ref.shape[2]
@@ -45,7 +45,7 @@ def _ivf_kernel(gm: int, K: int, work_ref, lut_ref, codes_ref, out_ref):
     sub = min(L_SUB, Lpad)
 
     for s0 in range(0, Lpad, sub):
-        codes = codes_ref[0, s0:s0 + sub, :]              # (sub, M)
+        codes = codes_ref[0, s0:s0 + sub, :].astype(jnp.int32)  # (sub, M)
         acc = jnp.zeros((out_ref.shape[1], sub), dtype=jnp.float32)
         for g in range(G):
             cols = codes[:, g * gm:(g + 1) * gm]
@@ -62,35 +62,59 @@ def _ivf_kernel(gm: int, K: int, work_ref, lut_ref, codes_ref, out_ref):
         out_ref[0, :, s0:s0 + sub] = acc
 
 
+TILE_CHUNK = 512  # work tiles per lax.map step (bounds the LUT-row gather)
+
+
 @functools.partial(jax.jit, static_argnames=("K",))
-def _score_work_tiles(work_cell, lut_rows, cell_codes_i32, K: int):
-    """work_cell: (T,) int32; lut_rows: (T*QT_G, MK) bf16;
-    cell_codes_i32: (nlist, Lpad, M) int32. Returns (T, QT_G, Lpad) f32."""
+def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int):
+    """work_cell: (T,) int32; qidx: (T, QT_G) int32 slot->query map (row Q of
+    lut_z is a zero row for empty slots); lut_z: (Q+1, MK) bf16;
+    cell_codes_u8: (nlist, Lpad, M) uint8. Returns (T, QT_G, Lpad) f32.
+
+    Work tiles are processed in TILE_CHUNK groups under lax.map so the
+    gathered LUT-row array peaks at TILE_CHUNK*QT_G*MK bf16 (~400MB) instead
+    of materializing all T*QT_G rows (~6GB at 8.8M-doc scale).
+    """
     T = work_cell.shape[0]
-    MK = lut_rows.shape[1]
-    nlist, Lpad, M = cell_codes_i32.shape
+    MK = lut_z.shape[1]
+    nlist, Lpad, M = cell_codes_u8.shape
     gm = _group_size(M, K)
     kernel = functools.partial(_ivf_kernel, gm, K)
+
+    tc = min(TILE_CHUNK, T)
+    Tpad = ((T + tc - 1) // tc) * tc
+    work_p = jnp.pad(work_cell, (0, Tpad - T))
+    qidx_p = jnp.pad(qidx, ((0, Tpad - T), (0, 0)),
+                     constant_values=lut_z.shape[0] - 1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(tc,),
         in_specs=[
             pl.BlockSpec((QT_G, MK), lambda t, work: (t, 0)),
             pl.BlockSpec((1, Lpad, M), lambda t, work: (work[t], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, QT_G, Lpad), lambda t, work: (t, 0, 0)),
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, QT_G, Lpad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tc, QT_G, Lpad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * QT_G * Lpad * MK,
-            bytes_accessed=T * (QT_G * MK * 2 + Lpad * M * 4 +
-                                QT_G * Lpad * 4),
+            flops=2 * tc * QT_G * Lpad * MK,
+            bytes_accessed=tc * (QT_G * MK * 2 + Lpad * M + QT_G * Lpad * 4),
             transcendentals=0,
         ),
-    )(work_cell, lut_rows, cell_codes_i32)
+    )
+
+    def chunk_fn(args):
+        wc, qi = args  # (tc,), (tc, QT_G)
+        lut_rows = jnp.take(lut_z, qi.reshape(-1), axis=0)  # (tc*QT_G, MK)
+        return call(wc, lut_rows, cell_codes_u8)
+
+    out = jax.lax.map(chunk_fn, (work_p.reshape(-1, tc),
+                                 qidx_p.reshape(-1, tc, QT_G)))
+    return out.reshape(Tpad, QT_G, Lpad)[:T]
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "topk", "K", "T_max"))
@@ -98,7 +122,7 @@ def _ivf_search_device(
     query_embeds,       # (Q, D) f32
     pq_centroids,       # (M, K, dsub) f32
     coarse_centroids,   # (nlist, D) f32
-    cell_codes_i32,     # (nlist, Lpad, M) int32
+    cell_codes_u8,      # (nlist, Lpad, M) uint8
     cell_ids,           # (nlist, Lpad) int32 (-1 pad)
     nprobe: int,
     topk: int,
@@ -106,7 +130,7 @@ def _ivf_search_device(
     T_max: int,
 ):
     Q, D = query_embeds.shape
-    nlist, Lpad, M = cell_codes_i32.shape
+    nlist, Lpad, M = cell_codes_u8.shape
     gm = _group_size(M, K)
 
     # ---- probe + pair construction -------------------------------------
@@ -125,23 +149,21 @@ def _ivf_search_device(
     is_tile_start = (rank % QT_G) == 0
     work_id = jnp.cumsum(is_tile_start.astype(jnp.int32)) - 1  # (P,)
     slot = rank % QT_G
-    row = work_id * QT_G + slot                                 # pair -> lut row
+    row = work_id * QT_G + slot                                 # pair -> slot row
 
     work_cell = jnp.zeros((T_max,), dtype=jnp.int32)
     work_cell = work_cell.at[work_id].set(sc)                   # last write wins (same cell)
 
-    # ---- LUT rows in work-tile layout ------------------------------------
-    # scatter only the SMALL row->query map, then materialize the big array
-    # with a gather (TPU scatters of wide rows are ~20x slower than gathers)
+    # ---- tiny slot->query map; LUT rows are DMA'd inside the kernel ----
     lut = permute_lut(build_lut(query_embeds, pq_centroids), gm)  # (Q, MK) f32
     lut = lut.astype(jnp.bfloat16)
     MK = lut.shape[1]
-    q_of_row = jnp.full((T_max * QT_G,), Q, dtype=jnp.int32).at[row].set(sq)
     lut_z = jnp.concatenate([lut, jnp.zeros((1, MK), jnp.bfloat16)], axis=0)
-    lut_rows = jnp.take(lut_z, q_of_row, axis=0)
+    qidx = jnp.full((T_max * QT_G,), Q, dtype=jnp.int32).at[row].set(sq)
+    qidx = qidx.reshape(T_max, QT_G)
 
     # ---- score all work tiles on the MXU --------------------------------
-    scores = _score_work_tiles(work_cell, lut_rows, cell_codes_i32, K)
+    scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K)
     scores_flat = scores.reshape(T_max * QT_G, Lpad)
 
     # ---- regroup per query ----------------------------------------------
@@ -169,7 +191,7 @@ class PallasIVFIndex:
         self.host = index
         self.K = index.centroids.shape[1]
         self.nlist = index.nlist
-        self.cell_codes = jnp.asarray(index.cell_codes.astype(np.int32))
+        self.cell_codes = jnp.asarray(index.cell_codes)  # uint8, 1 byte/code
         self.cell_ids = jnp.asarray(index.cell_ids)
         self.coarse = jnp.asarray(index.coarse_centroids)
         self.set_centroids(index.centroids)
