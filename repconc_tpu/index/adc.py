@@ -104,11 +104,22 @@ def batch_adc_search(
     batch_size: int = 1200,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Query-batched ADC search returning docid strings
-    (reference: evaluate_repconc.py:188-206)."""
+    (reference: evaluate_repconc.py:188-206). On TPU with a non-trivial
+    corpus the Pallas device-resident index serves the batches; elsewhere
+    (CPU tests) the XLA path runs."""
+    searcher = None
+    if jax.devices()[0].platform != "cpu" and codes.shape[0] >= 20_000:
+        from repconc_tpu.index.pallas_adc import PallasADCIndex
+
+        searcher = PallasADCIndex(codes, centroids)
+
     all_scores, all_ids = [], []
     iterations = math.ceil(len(query_ids) / batch_size)
     for q_chunk in np.array_split(query_embeds, iterations):
-        s, i = adc_search(q_chunk, codes, centroids, topk)
+        if searcher is not None:
+            s, i = searcher.search(q_chunk, topk=topk)
+        else:
+            s, i = adc_search(q_chunk, codes, centroids, topk)
         all_scores.append(s)
         all_ids.append(corpus_ids[i])
     return np.concatenate(all_scores, 0), np.concatenate(all_ids, 0)

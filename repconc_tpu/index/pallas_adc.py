@@ -78,6 +78,84 @@ def _adc_onehot_kernel(gm: int, K: int, lut_ref, codes_ref, out_ref):
     out_ref[:] = acc
 
 
+def _adc_onehot_kernel_i8(gm: int, K: int, lut_ref, scale_ref, codes_ref,
+                          out_ref):
+    """int8 variant: lut_ref (QT, M*K) int8 quantized per (query, group)
+    with scale_ref (QT, G) f32; the one-hot is int8 so every contraction
+    runs the MXU's s8xs8->s32 path (2x the bf16 rate)."""
+    NT, M = codes_ref.shape
+    G = M // gm
+    lanes = gm * K
+    codes = codes_ref[:]
+
+    acc = jnp.zeros((out_ref.shape[0], NT), dtype=jnp.float32)
+    for g in range(G):
+        cols = codes[:, g * gm:(g + 1) * gm]
+        expanded = pltpu.repeat(cols, K, axis=1)
+        k_of_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (NT, lanes), dimension=1) // gm
+        onehot = (expanded == k_of_lane).astype(jnp.int8)
+        lut_g = lut_ref[:, g * lanes:(g + 1) * lanes]
+        part = jax.lax.dot_general(
+            lut_g, onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = acc + part.astype(jnp.float32) * scale_ref[:, g:g + 1]
+    out_ref[:] = acc
+
+
+def quantize_lut_int8(lut_perm: jnp.ndarray, gm: int, K: int):
+    """Per-(query, group) symmetric int8 quantization of the permuted LUT.
+
+    Returns (lut_i8 (Q, M*K) int8, scales (Q, G) f32). Dequantized scores
+    carry <= scale/2 error per term — comparable to the bf16 path (the
+    reference's faiss uses fp16 LUTs above M=56, evaluate_repconc.py:126)."""
+    Q, MK = lut_perm.shape
+    lanes = gm * K
+    G = MK // lanes
+    grouped = lut_perm.reshape(Q, G, lanes)
+    amax = jnp.max(jnp.abs(grouped), axis=-1)            # (Q, G)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(grouped / scale[:, :, None]), -127, 127)
+    return q.astype(jnp.int8).reshape(Q, MK), scale
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def adc_scores_pallas_int8(
+    lut_i8: jnp.ndarray,     # (Q, M*K) int8 (quantize_lut_int8 output)
+    scales: jnp.ndarray,     # (Q, G) f32
+    codes: jnp.ndarray,      # (Nc, M) int32; Nc % DOC_TILE == 0
+    K: int,
+) -> jnp.ndarray:
+    Q, MK = lut_i8.shape
+    Nc, M = codes.shape
+    gm = _group_size(M, K)
+    G = M // gm
+    kernel = functools.partial(_adc_onehot_kernel_i8, gm, K)
+    grid = (Q // QUERY_TILE, Nc // DOC_TILE)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((QUERY_TILE, MK), lambda q, n: (q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QUERY_TILE, G), lambda q, n: (q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DOC_TILE, M), lambda q, n: (n, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((QUERY_TILE, DOC_TILE), lambda q, n: (q, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, Nc), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * Nc * MK,
+            bytes_accessed=Nc * M * 4 + Q * MK + Q * Nc * 4,
+            transcendentals=0,
+        ),
+    )(lut_i8, scales, codes)
+
+
 @functools.partial(jax.jit, static_argnames=("K",))
 def adc_scores_pallas(
     lut_perm: jnp.ndarray,   # (Q, M*K) bf16, permute_lut output

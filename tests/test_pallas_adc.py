@@ -79,3 +79,63 @@ def test_kernel_on_tpu(rng):
     s2, i2 = adc_search(queries, codes, cent, topk=20)
     overlap = np.mean([len(set(i1[q]) & set(i2[q])) / 20 for q in range(Q)])
     assert overlap > 0.95, overlap
+
+
+def test_quantize_lut_int8_roundtrip(rng):
+    from repconc_tpu.index.pallas_adc import quantize_lut_int8
+
+    Q, M, K, gm = 4, 8, 16, 8
+    lut = jnp.asarray(rng.normal(size=(Q, M, K)).astype(np.float32)) * 5
+    lut_perm = permute_lut(lut, gm)
+    lut_i8, scales = quantize_lut_int8(lut_perm, gm, K)
+    assert lut_i8.dtype == jnp.int8 and scales.shape == (Q, M // gm)
+    deq = np.asarray(lut_i8).reshape(Q, M // gm, gm * K).astype(np.float32) * \
+        np.asarray(scales)[:, :, None]
+    orig = np.asarray(lut_perm).reshape(Q, M // gm, gm * K)
+    # quantization error bounded by scale/2 per entry
+    err = np.abs(deq - orig)
+    bound = np.asarray(scales)[:, :, None] / 2 + 1e-6
+    assert (err <= bound).all()
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU (Mosaic kernel)")
+def test_int8_kernel_on_tpu(rng):
+    from repconc_tpu.index.adc import build_lut, score_codes
+    from repconc_tpu.index.pallas_adc import (
+        adc_scores_pallas_int8, quantize_lut_int8)
+
+    M, K, DSUB = 16, 256, 4
+    Q, N = 128, 1024
+    queries = rng.normal(size=(Q, M * DSUB)).astype(np.float32)
+    cent = rng.normal(size=(M, K, DSUB)).astype(np.float32)
+    codes = jnp.asarray(rng.integers(0, K, size=(N, M)).astype(np.int32))
+    gm = _group_size(M, K)
+    lut = build_lut(jnp.asarray(queries), jnp.asarray(cent))
+    lut_i8, scales = quantize_lut_int8(permute_lut(lut, gm), gm, K)
+    s_i8 = np.asarray(adc_scores_pallas_int8(lut_i8, scales, codes, K))
+    s_ref = np.asarray(score_codes(lut, codes))
+    # int8 LUT quantization: small relative error, high top-k agreement
+    ia = np.argsort(-s_i8, axis=1)[:, :20]
+    ib = np.argsort(-s_ref, axis=1)[:, :20]
+    overlap = np.mean([len(set(ia[q]) & set(ib[q])) / 20 for q in range(Q)])
+    assert overlap > 0.9, overlap
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU (Mosaic kernel)")
+def test_pallas_ivf_on_tpu(rng):
+    from repconc_tpu.index.ivf import build_ivf, search_xla
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex
+    from repconc_tpu.index.kmeans import pq_fit, pq_encode_chunked
+
+    N, D, M, K = 5000, 64, 8, 256
+    embeds = rng.normal(size=(N, D)).astype(np.float32)
+    cent, _ = pq_fit(jnp.asarray(embeds[:2000]), M=M, K=K, iters=5)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=2048)
+    index = build_ivf(embeds, codes, cent, nlist=32, kmeans_iters=5)
+    queries = embeds[:16]
+    s_ref, i_ref = search_xla(index, queries, topk=10, nprobe=8)
+    s_pal, i_pal = PallasIVFIndex(index).search(queries, topk=10, nprobe=8)
+    overlap = np.mean([len(set(i_pal[q]) & set(i_ref[q])) / 10
+                       for q in range(16)])
+    assert overlap > 0.9, overlap
