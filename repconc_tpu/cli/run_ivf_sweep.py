@@ -44,8 +44,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
     setup_logging()
 
-    import jax
-
     from repconc_tpu.index.adc import adc_search
     from repconc_tpu.index.ivf import build_ivf, search_xla
     from repconc_tpu.models import repconc_model

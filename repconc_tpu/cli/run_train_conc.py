@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import logging
-import os
 
 from repconc_tpu.core.logging_utils import setup_logging
 

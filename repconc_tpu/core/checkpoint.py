@@ -18,7 +18,7 @@ reference: run_warmup.py:187-189):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import numpy as np

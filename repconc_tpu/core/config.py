@@ -13,8 +13,6 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Optional
-
 METRIC_IP = "METRIC_IP"
 METRIC_COS = "METRIC_COS"
 METRIC_CENTROID_COS = "METRIC_CENTROID_COS"

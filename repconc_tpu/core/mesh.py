@@ -8,7 +8,7 @@ ride ICI. No launcher processes; `jax.jit` + shardings replace DDP.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

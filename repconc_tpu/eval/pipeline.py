@@ -14,7 +14,6 @@ from repconc_tpu.core.config import RepConcConfig
 from repconc_tpu.eval.encode import encode_corpus, encode_queries
 from repconc_tpu.eval.trec import evaluate_run
 from repconc_tpu.index.adc import batch_adc_search
-from repconc_tpu.index.flat import batch_flat_search
 
 logger = logging.getLogger(__name__)
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import csv
 import json
-from typing import Dict, Iterable, Tuple
+from typing import Dict, Iterable
 
 import numpy as np
 

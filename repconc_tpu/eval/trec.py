@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 from collections import defaultdict
-from typing import Dict, Iterable, Mapping, Tuple, Union
+from typing import Dict, Mapping, Tuple, Union
 
 QrelsT = Mapping[str, Mapping[str, int]]
 RunT = Mapping[str, Mapping[str, float]]

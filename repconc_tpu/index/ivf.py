@@ -25,7 +25,7 @@ import dataclasses
 import logging
 import os
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

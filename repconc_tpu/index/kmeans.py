@@ -17,7 +17,6 @@ per-subspace loop.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -17,8 +17,6 @@ are merged, and approx_max_k produces the final top-k.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,7 @@ Register new adapters with @register_adapter("name").
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Callable, Dict
 
 _TOKENIZER_REGISTRY: Dict[str, Callable] = {}
 

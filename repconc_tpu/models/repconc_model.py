@@ -17,19 +17,13 @@ from __future__ import annotations
 
 import os
 import shutil
-from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from repconc_tpu.core import checkpoint
-from repconc_tpu.core.config import (
-    METRIC_CENTROID_COS,
-    EncoderConfig,
-    RepConcConfig,
-)
+from repconc_tpu.core.config import METRIC_CENTROID_COS, RepConcConfig
 from repconc_tpu.models.auto import load_dense_encoder
 from repconc_tpu.models.transformer import DenseEncoder
 from repconc_tpu.quant import codebook

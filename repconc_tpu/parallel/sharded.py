@@ -15,16 +15,13 @@ Here both axes are one SPMD program:
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from repconc_tpu.core.mesh import DATA_AXIS
 
 
 def _local_topk_merge(scores_local, base_offsets, topk: int, axis_name: str):

@@ -18,7 +18,6 @@ Semantics match the reference exactly:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

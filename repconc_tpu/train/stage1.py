@@ -23,8 +23,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from dataclasses import asdict, dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax

@@ -26,7 +26,6 @@ from __future__ import annotations
 import logging
 import os
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
