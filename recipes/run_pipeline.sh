@@ -112,7 +112,7 @@ case $STAGE in
     --valid_qrel_path "${OUT_ROOT}/valid/qrels.tsv" \
     --valid_query_path "${OUT_ROOT}/valid/queries.tsv" \
     --valid_corpus_path "${OUT_ROOT}/valid/corpus.tsv" \
-    --max_query_len 16 --max_doc_len 128 \
+    --max_query_len ${MAX_QUERY_LEN:-16} --max_doc_len ${MAX_DOC_LEN:-128} \
     --per_device_train_batch_size ${GLOBAL_BATCH:-4096} \
     --negative "${OUT_ROOT}/hardneg.json" --negative_per_query 11 \
     --learning_rate 2e-5 --centroid_learning_rate 5e-4 \
@@ -120,7 +120,7 @@ case $STAGE in
     --sk_epsilon 0.003 --sk_iters 100 \
     --cache_chunk_size ${CACHE_CHUNK:-512} \
     --max_steps ${CONC_STEPS:-2000} \
-    --logging_steps 20 --eval_steps 40 --save_steps 40 \
+    --logging_steps 20 --eval_steps ${EVAL_STEPS:-40} --save_steps ${EVAL_STEPS:-40} \
     --data_parallel
   ;;
 8)

@@ -84,6 +84,11 @@ def encode_texts(
     verbose: bool = False,
 ) -> np.ndarray:
     """Encode a list of texts to codes (uint8) or continuous embeds (fp32)."""
+    limit = config.encoder.max_position_embeddings - config.encoder.position_offset
+    if max_seq_length > limit:
+        logger.warning("max_seq_length %d exceeds the encoder's position table"
+                       " (%d); truncating", max_seq_length, limit)
+        max_seq_length = limit
     fn = _encode_fn(config, output)
     n = len(texts)
     pad_id = config.encoder.pad_token_id

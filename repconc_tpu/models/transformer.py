@@ -97,6 +97,9 @@ class TransformerEncoder(nn.Module):
             # roberta: padding positions stay at pad index (they're masked
             # downstream anyway, but keeps parity with HF position_ids)
             positions = jnp.where(attention_mask > 0, positions, cfg.pad_token_id)
+        # clamp: sequences longer than the position table must not read
+        # out-of-range rows (XLA gather fill yields NaN on some backends)
+        positions = jnp.minimum(positions, cfg.max_position_embeddings - 1)
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, dtype=dtype,
                        name="position_embeddings")(positions)
         hidden = word + pos

@@ -104,3 +104,14 @@ def test_from_dense_encoder(rng, tmp_path):
     ids, mask = _batch(rng)
     out = repconc_model.forward(cfg, params, ids, mask, return_code=True)
     assert out.discrete_codes.shape == (6, 4)
+
+
+def test_sequences_beyond_position_table_stay_finite(tiny_model, rng):
+    """max_position_embeddings=64; a longer sequence must clamp positions
+    rather than reading out-of-range embedding rows (NaN on TPU gather)."""
+    cfg, params = tiny_model
+    L = cfg.encoder.max_position_embeddings + 32
+    ids = jnp.asarray(rng.integers(4, 64, size=(2, L)), dtype=jnp.int32)
+    mask = jnp.ones((2, L), dtype=jnp.int32)
+    out = repconc_model.encode_continuous(cfg, params, ids, mask)
+    assert np.isfinite(np.asarray(out)).all()
