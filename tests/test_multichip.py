@@ -42,3 +42,27 @@ def test_sharded_train_step_runs_and_matches_single(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5),
         p1, p2)
+
+
+def test_sharded_with_gradient_cache_chunks(rng):
+    """cache_chunk_size (gradient caching) must compose with data sharding
+    — the combination every real recipe uses (GLOBAL_BATCH + CACHE_CHUNK +
+    --data_parallel)."""
+    cfg = RepConcConfig(encoder=TINY_ENC, MCQ_M=4, MCQ_K=16,
+                        sk_epsilon=0.05, sk_iters=10)
+    params = repconc_model.init_params(cfg, jax.random.key(0))
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, B=32, n_neg=1).items()}
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    repl, data = NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
+
+    losses = {}
+    for chunk in (-1, 8):
+        hp = Stage1Hparams(total_steps=1, use_constraint=True,
+                           cache_chunk_size=chunk)
+        tx = make_optimizer(hp, params)
+        step = jax.jit(make_train_step(cfg, hp, tx),
+                       in_shardings=(repl, repl, data, repl),
+                       out_shardings=(repl, repl, repl, repl))
+        _, _, m, _ = step(params, tx.init(params), batch, jax.random.key(0))
+        losses[chunk] = float(m["loss"])
+    assert abs(losses[-1] - losses[8]) < 1e-3, losses
