@@ -55,12 +55,12 @@ def permute_lut(lut: jnp.ndarray, gm: int) -> jnp.ndarray:
 
 
 def _adc_onehot_kernel(gm: int, K: int, lut_ref, codes_ref, out_ref):
-    """lut_ref: (QT, M*K) bf16 grouped-k-major; codes_ref: (NT, M) int32;
-    out_ref: (QT, NT) f32."""
+    """lut_ref: (QT, M*K) bf16 grouped-k-major; codes_ref: (NT, M) uint8
+    (widened in VMEM); out_ref: (QT, NT) f32."""
     NT, M = codes_ref.shape
     G = M // gm
     lanes = gm * K
-    codes = codes_ref[:]
+    codes = codes_ref[:].astype(jnp.int32)
 
     acc = jnp.zeros((out_ref.shape[0], NT), dtype=jnp.float32)
     for g in range(G):  # static unroll over m-groups
@@ -86,7 +86,7 @@ def _adc_onehot_kernel_i8(gm: int, K: int, lut_ref, scale_ref, codes_ref,
     NT, M = codes_ref.shape
     G = M // gm
     lanes = gm * K
-    codes = codes_ref[:]
+    codes = codes_ref[:].astype(jnp.int32)
 
     acc = jnp.zeros((out_ref.shape[0], NT), dtype=jnp.float32)
     for g in range(G):
@@ -159,7 +159,7 @@ def adc_scores_pallas_int8(
 @functools.partial(jax.jit, static_argnames=("K",))
 def adc_scores_pallas(
     lut_perm: jnp.ndarray,   # (Q, M*K) bf16, permute_lut output
-    codes: jnp.ndarray,      # (Nc, M) int32; Nc % DOC_TILE == 0
+    codes: jnp.ndarray,      # (Nc, M) uint8; Nc % DOC_TILE == 0
     K: int,
 ) -> jnp.ndarray:
     """Scores (Q, Nc) for one code chunk. Q % QUERY_TILE == 0."""
@@ -182,7 +182,7 @@ def adc_scores_pallas(
         out_shape=jax.ShapeDtypeStruct((Q, Nc), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * Nc * MK,
-            bytes_accessed=Nc * M * 4 + Q * MK * 2 + Q * Nc * 4,
+            bytes_accessed=Nc * M + Q * MK * 2 + Q * Nc * 4,
             transcendentals=0,
         ),
     )(lut_perm, codes)
@@ -235,9 +235,9 @@ class PallasADCIndex:
         self.K = centroids.shape[1]
         self.chunk = min(chunk_size, _round_up(self.N, DOC_TILE))
         npad = _round_up(self.N, self.chunk)
-        padded = np.zeros((npad, self.M), dtype=np.int32)
+        padded = np.zeros((npad, self.M), dtype=np.uint8)
         padded[:self.N] = codes
-        self.codes = jnp.asarray(padded)
+        self.codes = jnp.asarray(padded)  # 1 byte/code in HBM
         self.set_centroids(centroids)
 
     def set_centroids(self, centroids):

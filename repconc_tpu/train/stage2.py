@@ -88,7 +88,7 @@ def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes):
 
         chunk = min(1 << 17, _round_up(N, pallas_adc.DOC_TILE))
         npad = _round_up(N, chunk)
-        padded = np.zeros((npad, codes.shape[1]), dtype=np.int32)
+        padded = np.zeros((npad, codes.shape[1]), dtype=np.uint8)
         padded[:N] = np.asarray(codes)
         codes = jnp.asarray(padded)
         gm = pallas_adc._group_size(codes.shape[1], config.MCQ_K)
