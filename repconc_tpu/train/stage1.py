@@ -226,25 +226,49 @@ def make_quant_health_fn(config: RepConcConfig):
 # Host training loop
 
 
-def save_train_state(path: str, params, opt_state, step: int, best: float):
+def save_train_state(path: str, params, opt_state, step: int, best: float,
+                     backend: str = "msgpack"):
+    """Persist (params, optimizer state, step, best metric) for resume.
+
+    backend="orbax" uses orbax-checkpoint (sharding-aware, async-capable —
+    the right choice on multi-host meshes); "msgpack" is the dependency-free
+    default. Reference analog: HF Trainer checkpoints (SURVEY.md §5)."""
     os.makedirs(path, exist_ok=True)
     blob = {
         "params": jax.tree.map(np.asarray, params),
         "opt_state": jax.tree.map(np.asarray, opt_state),
     }
-    with open(os.path.join(path, "train_state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(blob))
+    if backend == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        target = os.path.join(os.path.abspath(path), "orbax")
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(target, blob)
+    else:
+        with open(os.path.join(path, "train_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(blob))
     with open(os.path.join(path, "trainer_meta.json"), "w") as f:
-        json.dump({"step": step, "best_metric": best}, f)
+        json.dump({"step": step, "best_metric": best, "backend": backend}, f)
 
 
 def load_train_state(path: str, params, opt_state):
-    with open(os.path.join(path, "train_state.msgpack"), "rb") as f:
-        blob = serialization.from_bytes(
-            {"params": jax.tree.map(np.asarray, params),
-             "opt_state": jax.tree.map(np.asarray, opt_state)}, f.read())
     with open(os.path.join(path, "trainer_meta.json")) as f:
         meta = json.load(f)
+    abstract = {"params": jax.tree.map(np.asarray, params),
+                "opt_state": jax.tree.map(np.asarray, opt_state)}
+    if meta.get("backend") == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            blob = ckptr.restore(os.path.join(os.path.abspath(path), "orbax"),
+                                 abstract)
+    else:
+        with open(os.path.join(path, "train_state.msgpack"), "rb") as f:
+            blob = serialization.from_bytes(abstract, f.read())
     return blob["params"], blob["opt_state"], meta["step"], meta["best_metric"]
 
 
@@ -269,7 +293,7 @@ def train(
     opt_state = tx.init(params)
     start_step, best = 0, -1.0
     ckpt_dir = os.path.join(output_dir, "checkpoint")
-    if os.path.exists(os.path.join(ckpt_dir, "train_state.msgpack")):
+    if os.path.exists(os.path.join(ckpt_dir, "trainer_meta.json")):
         params, opt_state, start_step, best = load_train_state(
             ckpt_dir, params, opt_state)
         logger.info("resumed from step %d (best %.5f)", start_step, best)

@@ -187,7 +187,7 @@ def train(
     opt_state = tx.init(params)
     start_step, best = 0, -1.0
     ckpt_dir = os.path.join(output_dir, "checkpoint")
-    if os.path.exists(os.path.join(ckpt_dir, "train_state.msgpack")):
+    if os.path.exists(os.path.join(ckpt_dir, "trainer_meta.json")):
         params, opt_state, start_step, best = stage1.load_train_state(
             ckpt_dir, params, opt_state)
         logger.info("resumed from step %d (best %.5f)", start_step, best)

@@ -167,3 +167,18 @@ def test_train_loop_end_to_end(tiny, rng, tmp_path):
     # resume: a fresh call continues from step 6 and stops immediately
     out2 = stage1.train(cfg, params, batches(), hp, str(tmp_path))
     assert out2["step"] == 6
+
+
+def test_train_state_orbax_roundtrip(tiny, tmp_path):
+    """Optional orbax checkpoint backend restores bit-identically."""
+    pytest.importorskip("orbax.checkpoint")
+    cfg, params = tiny
+    hp = Stage1Hparams(total_steps=3)
+    tx = make_optimizer(hp, params)
+    opt_state = tx.init(params)
+    stage1.save_train_state(str(tmp_path), params, opt_state, 7, 0.5,
+                            backend="orbax")
+    p2, o2, step, best = stage1.load_train_state(str(tmp_path), params, opt_state)
+    assert step == 7 and best == 0.5
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, p2)
