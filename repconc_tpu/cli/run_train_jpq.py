@@ -91,8 +91,7 @@ def main(argv=None):
     batches = batch_iterator(dataset, collator, args.per_device_train_batch_size,
                              seed=args.seed)
     out = stage2.train(config, params, codes, batches, hp, args.output_dir,
-                       tokenizer=tokenizer, valid_set=valid_set,
-                       corpus_ids=corpus_ids)
+                       tokenizer=tokenizer, valid_set=valid_set)
     logger.info("finished at step %d (best %.5f)", out["step"], out["best_metric"])
 
 

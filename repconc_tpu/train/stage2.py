@@ -171,7 +171,6 @@ def train(
     output_dir: str,
     tokenizer=None,
     valid_set: Optional[Tuple[np.ndarray, Dict, Dict]] = None,
-    corpus_ids: Optional[np.ndarray] = None,
     metric_for_best: str = "MRR@10",
     log_fn=None,
 ) -> Dict[str, Any]:
