@@ -1,19 +1,35 @@
-"""Extract hard negatives from a TREC run: top-k per query minus qrel
-positives -> {qid: [docid...]} JSON. Pipeline stage 6
-(reference: train/run_extract_hardneg.py).
+"""Mine hard negatives for stage-1 training from a warmup retrieval run.
+
+Pipeline stage 6. Behavior parity with the reference's
+train/run_extract_hardneg.py:7-30: for each query, the run documents at
+rank <= --topk that are not judged relevant form that query's negative
+pool, serialized as {qid: [docid, ...]} JSON (rank order preserved) for
+`train.data.QDRelDataset`'s hard-negative sampling mode.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
-from collections import defaultdict
 
 from repconc_tpu.core.logging_utils import setup_logging
+from repconc_tpu.eval.run_io import iter_run, load_qrels
+
+logger = logging.getLogger(__name__)
+
+
+def mine_hard_negatives(run_path: str, positives: dict, depth: int) -> dict:
+    """Top-`depth` run docids per query, minus that query's judged positives."""
+    pools: dict = {}
+    for qid, docid, rank in iter_run(run_path):
+        if rank <= depth and docid not in positives.get(qid, ()):
+            pools.setdefault(qid, []).append(docid)
+    return pools
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--run_path", required=True)
     parser.add_argument("--qrel_path", required=True)
     parser.add_argument("--topk", type=int, required=True)
@@ -21,23 +37,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
     setup_logging()
 
-    os.makedirs(os.path.dirname(os.path.abspath(args.output_path)), exist_ok=True)
-    qrel = defaultdict(set)
-    with open(args.qrel_path) as f:
-        for line in f:
-            query_id, _, object_id, relevance = line.strip().split()
-            if int(relevance) > 0:
-                qrel[query_id].add(object_id)
+    positives = {q: set(ds) for q, ds in load_qrels(args.qrel_path).items()}
+    pools = mine_hard_negatives(args.run_path, positives, args.topk)
+    logger.info("mined negative pools for %d queries (depth %d)",
+                len(pools), args.topk)
 
-    hardneg = defaultdict(list)
-    with open(args.run_path) as f:
-        for line in f:
-            query_id, _, object_id, ranking, _, _ = line.strip().split()
-            if int(ranking) <= args.topk and object_id not in qrel[query_id]:
-                hardneg[query_id].append(object_id)
-
-    with open(args.output_path, "w") as f:
-        json.dump(hardneg, f)
+    os.makedirs(os.path.dirname(os.path.abspath(args.output_path)),
+                exist_ok=True)
+    with open(args.output_path, "w") as fh:
+        json.dump(pools, fh)
 
 
 if __name__ == "__main__":

@@ -1,43 +1,54 @@
-"""Sample a small validation corpus: qrel docs U top-k run docs per dev query.
-Pipeline stage 4 (reference: train/run_gen_valid_set.py).
+"""Carve a small validation split out of the full collection.
+
+Pipeline stage 4. Behavior parity with the reference's
+train/run_gen_valid_set.py: the validation corpus is the union of (a)
+every judged document in the dev qrels (any relevance grade) and (b) the
+top-`--topk` documents a dense run retrieved for each judged query —
+small enough to re-encode every eval_steps during stage-1 training while
+still containing each query's positives and its hardest distractors.
+Queries and qrels pass through unchanged.
 """
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import shutil
 
 from repconc_tpu.core.logging_utils import setup_logging
+from repconc_tpu.eval.run_io import iter_run
+
+logger = logging.getLogger(__name__)
 
 
-def sample_docs_from_topics(qrel_path: str, run_path: str, topk: int):
-    all_qids, sampled_pids = set(), set()
-    with open(qrel_path) as f:
-        for line in f:
-            qid, _, pid, _ = line.split()
-            all_qids.add(qid)
-            sampled_pids.add(pid)
-    with open(run_path) as f:
-        for line in f:
-            qid, _, pid, rank, _, _ = line.split()
-            if int(rank) <= topk and qid in all_qids:
-                sampled_pids.add(pid)
-    return sampled_pids
+def select_validation_docids(qrel_path: str, run_path: str, depth: int) -> set:
+    """Judged docids (all grades) + top-`depth` run docids of judged queries."""
+    judged_queries: set = set()
+    keep: set = set()
+    with open(qrel_path) as fh:
+        for line in fh:
+            qid, _, docid, _rel = line.split()
+            judged_queries.add(qid)
+            keep.add(docid)
+    for qid, docid, rank in iter_run(run_path):
+        if rank <= depth and qid in judged_queries:
+            keep.add(docid)
+    return keep
 
 
-def output_corpus(in_corpus_path: str, out_corpus_path: str, sampled):
-    cnt = 0
-    with open(out_corpus_path, "w") as out, open(in_corpus_path) as f:
-        for line in f:
-            pid = line.split("\t", maxsplit=1)[0]
-            if pid in sampled:
-                out.write(line)
-                cnt += 1
-    print(f"Write Cnt: {cnt}, Sample Cnt: {len(sampled)}")
+def filter_corpus_tsv(src_path: str, dst_path: str, keep: set) -> int:
+    """Copy the corpus TSV lines whose id column is in `keep`; return count."""
+    kept = 0
+    with open(src_path) as fin, open(dst_path, "w") as fout:
+        for line in fin:
+            if line.split("\t", 1)[0] in keep:
+                fout.write(line)
+                kept += 1
+    return kept
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input_corpus_path", required=True)
     parser.add_argument("--input_query_path", required=True)
     parser.add_argument("--input_qrel_path", required=True)
@@ -49,14 +60,18 @@ def main(argv=None):
     args = parser.parse_args(argv)
     setup_logging()
 
-    for p in (args.output_corpus_path, args.output_query_path,
-              args.output_qrel_path):
-        os.makedirs(os.path.dirname(os.path.abspath(p)), exist_ok=True)
-    shutil.copy(args.input_qrel_path, args.output_qrel_path)
+    for path in (args.output_corpus_path, args.output_query_path,
+                 args.output_qrel_path):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     shutil.copy(args.input_query_path, args.output_query_path)
-    docids = sample_docs_from_topics(args.output_qrel_path,
-                                     args.input_run_path, args.topk)
-    output_corpus(args.input_corpus_path, args.output_corpus_path, docids)
+    shutil.copy(args.input_qrel_path, args.output_qrel_path)
+
+    keep = select_validation_docids(args.input_qrel_path, args.input_run_path,
+                                    args.topk)
+    kept = filter_corpus_tsv(args.input_corpus_path, args.output_corpus_path,
+                             keep)
+    logger.info("validation corpus: wrote %d of %d selected docids to %s",
+                kept, len(keep), args.output_corpus_path)
 
 
 if __name__ == "__main__":

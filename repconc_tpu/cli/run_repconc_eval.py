@@ -150,7 +150,9 @@ def main(argv=None):
         ivf.set_centroids(centroids)
         scores, row_ids = search_xla(ivf, query_embeds, topk=args.topk,
                                      nprobe=args.nprobe)
-        topk_ids = corpus_ids[row_ids]
+        # -1 pad rows (score=-inf) must not wrap through corpus_ids; clamp —
+        # write_run_tsv drops the non-finite entries.
+        topk_ids = corpus_ids[np.maximum(row_ids, 0)]
     else:
         scores, topk_ids = batch_adc_search(
             query_ids, query_embeds, corpus_ids, codes, centroids,

@@ -19,7 +19,10 @@ logger = logging.getLogger(__name__)
 
 
 def run_from_topk(query_ids, all_scores, all_ids) -> Dict[str, Dict[str, float]]:
-    return {str(q): {str(d): float(s) for d, s in zip(dids, scs)}
+    """Non-finite scores are -inf pad sentinels (short IVF candidate sets,
+    ivf.py/pallas_ivf.py) — dropped, never ranked."""
+    return {str(q): {str(d): float(s) for d, s in zip(dids, scs)
+                     if np.isfinite(s)}
             for q, dids, scs in zip(query_ids, all_ids, all_scores)}
 
 

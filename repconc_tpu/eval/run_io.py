@@ -95,6 +95,20 @@ def load_qrels(qrel_path: str, rel_threshold: int = 1) -> Dict[str, list]:
     return qrels
 
 
+def iter_run(run_path: str):
+    """Stream a TREC run file as (qid, docid, rank) tuples (rank 1-based).
+
+    Scores and the run tag are not surfaced: every consumer in the pipeline
+    (hard-negative mining, validation-set carving) selects by rank cutoff.
+    """
+    with open(run_path) as fh:
+        for line in fh:
+            fields = line.split()
+            if not fields:
+                continue
+            yield fields[0], fields[2], int(fields[3])
+
+
 def write_run_tsv(
     out_path: str,
     query_ids: Iterable,
@@ -102,8 +116,17 @@ def write_run_tsv(
     all_topk_ids: np.ndarray,
     run_name: str = "System",
 ) -> None:
-    """Write a TREC run file (reference: run_repconc_eval.py:101-105)."""
+    """Write a TREC run file (reference: run_repconc_eval.py:101-105).
+
+    Entries with non-finite scores are dropped: IVF search pads short
+    candidate sets with score=-inf sentinels (ivf.py / pallas_ivf.py), which
+    must not surface as ranked documents.
+    """
     with open(out_path, "w") as output:
         for qid, topk_scores, topk_ids in zip(query_ids, all_topk_scores, all_topk_ids):
-            for i, (score, docid) in enumerate(zip(topk_scores, topk_ids)):
-                output.write(f"{qid}\tQ0\t{docid}\t{i + 1}\t{score}\t{run_name}\n")
+            rank = 0
+            for score, docid in zip(topk_scores, topk_ids):
+                if not np.isfinite(score):
+                    continue
+                rank += 1
+                output.write(f"{qid}\tQ0\t{docid}\t{rank}\t{score}\t{run_name}\n")

@@ -58,22 +58,36 @@ def false_negative_mask(
     by the host collator.
     """
     del qids  # identity is carried by query_positives' row order
-    # (B, 1, P) == (1, Bd, 1) -> any over P
-    eq = query_positives[:, None, :] == doc_ids[None, :, None]
-    valid = query_positives[:, None, :] >= 0
-    mask = jnp.any(eq & valid, axis=-1)
-    B = mask.shape[0]
-    diag = jnp.eye(B, mask.shape[1], dtype=bool)
+    B, P = query_positives.shape
+    Bd = doc_ids.shape[0]
+    # Accumulate over the (small, static) P axis instead of materializing a
+    # (B, Bd, P) intermediate: at the reference's production scale
+    # (B=4096, Bd=49k, P=8) the 3-D buffer would be ~1.6 GB.
+    mask = jnp.zeros((B, Bd), dtype=bool)
+    for p in range(P):
+        col = query_positives[:, p:p + 1]          # (B, 1)
+        mask |= (col == doc_ids[None, :]) & (col >= 0)
+    diag = jnp.eye(B, Bd, dtype=bool)
     return mask & ~diag
 
 
 def duplicate_negative_mask(qids: jnp.ndarray, doc_ids: jnp.ndarray) -> jnp.ndarray:
     """Mask repeated docids so each doc scores once per query
-    (reference: finetune_repconc.py:442-451)."""
+    (reference: finetune_repconc.py:442-451).
+
+    Duplicate flags come from a stable sort instead of a pairwise (Bd, Bd)
+    comparison — O(Bd log Bd) time and O(Bd) memory, so the reference's
+    production batch (Bd ≈ 49k docs, where the pairwise matrix would be
+    ~2.4 GB) fits trivially. Stable ties keep the first occurrence (smallest
+    original index) as the non-masked survivor, matching the "duplicates an
+    earlier doc" semantics exactly.
+    """
     n = doc_ids.shape[0]
-    eq = doc_ids[:, None] == doc_ids[None, :]
-    upper = jnp.triu(eq, k=1)
-    dup = jnp.any(upper, axis=0)  # doc j duplicates an earlier doc
+    order = jnp.argsort(doc_ids, stable=True)
+    sorted_ids = doc_ids[order]
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), sorted_ids[1:] == sorted_ids[:-1]])
+    dup = jnp.zeros((n,), dtype=bool).at[order].set(dup_sorted)
     mask = jnp.broadcast_to(dup[None, :], (qids.shape[0], n))
     diag = jnp.eye(qids.shape[0], n, dtype=bool)
     return mask & ~diag

@@ -27,6 +27,42 @@ logger = logging.getLogger(__name__)
 
 MAX_DOC_CHARS = 10_000
 
+_warned_truncated_positives = False
+
+
+def padded_positives(samples: List[Dict[str, Any]],
+                     qrels: Dict[int, List[int]],
+                     max_positives: int) -> np.ndarray:
+    """(B, max_positives) int32 matrix of judged-positive offsets, -1 padded.
+
+    The sampled positive always occupies column 0 so the row covering the
+    contrastive label can never be truncated away; remaining judged positives
+    fill the rest. The reference masks ALL judged positives
+    (finetune_repconc.py:433-440) — if a query has more than `max_positives`
+    we warn once, since the overflow docs could then score as in-batch
+    negatives (raise max_positives to the dataset's max qrels length to get
+    exact reference semantics).
+    """
+    global _warned_truncated_positives
+    P = max_positives
+    positives = np.full((len(samples), P), -1, dtype=np.int32)
+    truncated = 0
+    for i, s in enumerate(samples):
+        sampled = s["pos_docid"]
+        row = [sampled] + [d for d in qrels.get(s["qid"], []) if d != sampled]
+        if len(row) > P:
+            truncated += 1
+        row = row[:P]
+        positives[i, :len(row)] = row
+    if truncated and not _warned_truncated_positives:
+        _warned_truncated_positives = True
+        logger.warning(
+            "%d queries in this batch have more than max_positives=%d judged "
+            "positives; the overflow is not false-negative-masked. Raise "
+            "max_positives to the dataset's max qrels length for exact "
+            "reference mask semantics.", truncated, P)
+    return positives
+
 
 class QDRelDataset:
     """Queries + corpus + qrels with negative sampling."""
@@ -175,11 +211,7 @@ class QueryCollator:
         out = self.tokenizer([s["query"] for s in samples], padding="max_length",
                              truncation=True, max_length=self.max_query_len,
                              **kwargs)
-        P = self.max_positives
-        positives = np.full((len(samples), P), -1, dtype=np.int32)
-        for i, s in enumerate(samples):
-            pos = qrels.get(s["qid"], [])[:P]
-            positives[i, :len(pos)] = pos
+        positives = padded_positives(samples, qrels, self.max_positives)
         return {
             "query_input_ids": np.asarray(out["input_ids"], dtype=np.int32),
             "query_attention_mask": np.asarray(out["attention_mask"], dtype=np.int32),
@@ -232,12 +264,8 @@ class FinetuneCollator:
             batch["neg_docids"] = np.asarray(
                 sum((s["neg_docids"] for s in samples), []), dtype=np.int32)
         # padded per-query positives for the device-side false-negative mask
-        P = self.max_positives
-        positives = np.full((len(samples), P), -1, dtype=np.int32)
-        for i, s in enumerate(samples):
-            pos = qrels.get(s["qid"], [])[:P]
-            positives[i, :len(pos)] = pos
-        batch["query_positives"] = positives
+        batch["query_positives"] = padded_positives(samples, qrels,
+                                                    self.max_positives)
         return batch
 
 

@@ -90,18 +90,23 @@ def make_optimizer(hp: Stage1Hparams, params) -> optax.GradientTransformation:
                                        max(hp.total_steps - hp.warmup_steps, 1))
     cent_lr = optax.join_schedules([cent_warm, cent_decay], [hp.warmup_steps])
 
-    base = optax.chain(
-        optax.clip_by_global_norm(hp.max_grad_norm),
-        optax.adamw(lr, b2=hp.adam_beta2, eps=hp.adam_epsilon,
-                    weight_decay=hp.weight_decay, mask=_decay_mask),
-    )
-    centroid = optax.chain(
-        optax.clip_by_global_norm(hp.max_grad_norm),
-        optax.adam(cent_lr, b2=hp.adam_beta2, eps=hp.adam_epsilon),
-    )
+    base = optax.adamw(lr, b2=hp.adam_beta2, eps=hp.adam_epsilon,
+                       weight_decay=hp.weight_decay, mask=_decay_mask)
+    centroid = optax.adam(cent_lr, b2=hp.adam_beta2, eps=hp.adam_epsilon)
     labels = jax.tree_util.tree_map(lambda _: "base", params)
     labels["centroids"] = "centroid"
-    return optax.multi_transform({"base": base, "centroid": centroid}, labels)
+    # The OPQ rotation is a frozen buffer in the reference
+    # (modeling_repconc.py:40, excluded from optimizer groups): updating it —
+    # especially with weight decay — would denormalize the orthogonal matrix.
+    labels["rotation"] = "frozen"
+    return optax.chain(
+        # ONE global clip over all parameter groups jointly, matching the HF
+        # Trainer's clip_grad_norm_ semantics (not per-group clipping).
+        optax.clip_by_global_norm(hp.max_grad_norm),
+        optax.multi_transform(
+            {"base": base, "centroid": centroid, "frozen": optax.set_to_zero()},
+            labels),
+    )
 
 
 def encode_chunked(

@@ -129,12 +129,15 @@ def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes):
         pos_codes = jnp.take(codes, batch["pos_docids"], axis=0)
         pos_embeds = codebook.decode(pos_codes, centroids)  # (B, D)
 
-        scale = config.MCQ_M if mcc else 1.0
+        # Unlike stage-1 (finetune_repconc.py:414-417), the reference's JPQ
+        # loss divides by temperature ONLY — no /MCQ_M for CENTROID_COS
+        # families (finetune_jpq.py:179-188) — so published stage-2
+        # hyperparameters transfer unchanged.
         neg_scores = jnp.einsum("bd,bkd->bk", q_embeds, neg_embeds,
                                 preferred_element_type=jnp.float32)
-        neg_scores = neg_scores / scale / hp.temperature
+        neg_scores = neg_scores / hp.temperature
         pos_scores = jnp.sum(q_embeds * pos_embeds, axis=-1, keepdims=True)
-        pos_scores = pos_scores / scale / hp.temperature
+        pos_scores = pos_scores / hp.temperature
 
         # mask retrieved docs that are judged positives of the query
         positives = batch["query_positives"]  # (B, P), -1 padded

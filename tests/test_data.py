@@ -96,6 +96,19 @@ def test_collator_shapes(toy_files, tokenizer):
         assert batch["query_positives"][i, 0] in ds.qrels[s["qid"]]
 
 
+def test_padded_positives_always_contains_sampled_positive():
+    """Even when a query's judged positives overflow max_positives, the
+    SAMPLED positive (the contrastive label's doc) occupies column 0."""
+    from repconc_tpu.train.data import padded_positives
+
+    qrels = {7: list(range(100, 112))}  # 12 positives, P=4
+    samples = [{"qid": 7, "pos_docid": 111}]  # sampled is LAST in qrels order
+    m = padded_positives(samples, qrels, max_positives=4)
+    assert m.shape == (1, 4)
+    assert m[0, 0] == 111
+    assert set(m[0, 1:]) == {100, 101, 102}  # remaining prefix, no duplicate
+
+
 def test_batch_iterator_static_shapes(toy_files, tokenizer):
     ds = QDRelDataset(str(toy_files / "qrels.txt"), str(toy_files / "queries.tsv"),
                       str(toy_files / "corpus.tsv"), negative="random",

@@ -129,6 +129,36 @@ def test_duplicate_negative_mask():
     assert not m[0, 0] and not m[1, 1]
 
 
+def test_duplicate_negative_mask_matches_pairwise(rng):
+    """Sort-based dup flags == O(n^2) pairwise reference, incl. Bd>=4096
+    (the production global-batch scale where pairwise would be ~2.4 GB)."""
+    for n in (16, 257, 4096):
+        doc_ids = jnp.asarray(rng.integers(0, max(n // 2, 1), size=(n,)),
+                              dtype=jnp.int32)
+        nq = min(n, 64)
+        qids = jnp.arange(nq, dtype=jnp.int32)
+        m = np.asarray(duplicate_negative_mask(qids, doc_ids))
+        ids = np.asarray(doc_ids)
+        dup = np.any(np.triu(ids[:, None] == ids[None, :], k=1), axis=0)
+        expect = np.broadcast_to(dup[None, :], (nq, n)).copy()
+        expect[np.arange(nq), np.arange(nq)] = False
+        np.testing.assert_array_equal(m, expect)
+
+
+def test_false_negative_mask_matches_dense_reference(rng):
+    """P-loop accumulation == 3-D broadcast reference at Bd>=4096."""
+    B, Bd, P = 64, 4096, 8
+    doc_ids = jnp.asarray(rng.integers(0, 2048, size=(Bd,)), dtype=jnp.int32)
+    positives = rng.integers(0, 2048, size=(B, P)).astype(np.int32)
+    positives[rng.random((B, P)) < 0.5] = -1
+    qids = jnp.arange(B, dtype=jnp.int32)
+    m = np.asarray(false_negative_mask(qids, doc_ids, jnp.asarray(positives)))
+    eq = positives[:, None, :] == np.asarray(doc_ids)[None, :, None]
+    expect = np.any(eq & (positives[:, None, :] >= 0), axis=-1)
+    expect[np.arange(B), np.arange(B)] = False
+    np.testing.assert_array_equal(m, expect)
+
+
 def test_contrastive_loss_basic(rng):
     B, D = 4, 8
     q = jnp.asarray(np.eye(B, D, dtype=np.float32) * 10)

@@ -65,3 +65,35 @@ def test_write_run_roundtrip(tmp_path):
                   np.array([["dA", "dB"]]))
     run = parse_run(str(p))
     assert run == {"q1": {"dA": 2.5, "dB": 1.0}}
+
+
+def test_write_run_drops_pad_sentinels(tmp_path):
+    """IVF pads short candidate sets with score=-inf / id=-1; those rows
+    must not be written (the -1 would have wrapped through corpus_ids)."""
+    from repconc_tpu.eval.trec import parse_run
+
+    p = tmp_path / "run.tsv"
+    write_run_tsv(str(p), ["q1", "q2"],
+                  np.array([[2.5, -np.inf], [-np.inf, -np.inf]]),
+                  np.array([["dA", "dX"], ["dY", "dZ"]]))
+    run = parse_run(str(p))
+    assert run == {"q1": {"dA": 2.5}}
+    # ranks stay contiguous after filtering
+    lines = p.read_text().splitlines()
+    assert len(lines) == 1 and lines[0].split("\t")[3] == "1"
+
+
+def test_run_from_topk_drops_pad_sentinels():
+    from repconc_tpu.eval.pipeline import run_from_topk
+
+    run = run_from_topk(["q1"], np.array([[1.5, -np.inf]]),
+                        np.array([[7, -1]]))
+    assert run == {"q1": {"7": 1.5}}
+
+
+def test_iter_run(tmp_path):
+    from repconc_tpu.eval.run_io import iter_run
+
+    p = tmp_path / "run.tsv"
+    p.write_text("q1\tQ0\tdA\t1\t3.5\tsys\nq1\tQ0\tdB\t2\t2.0\tsys\n")
+    assert list(iter_run(str(p))) == [("q1", "dA", 1), ("q1", "dB", 2)]

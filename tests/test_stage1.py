@@ -90,6 +90,29 @@ def test_optimizer_param_groups(tiny):
     assert cent_up > 100 * enc_up, (cent_up, enc_up)
 
 
+def test_rotation_frozen_and_single_global_clip(tiny):
+    """The OPQ rotation is a frozen buffer (reference modeling_repconc.py:40):
+    no update regardless of its gradient; clipping is one global norm."""
+    cfg, params = tiny
+    hp = Stage1Hparams(learning_rate=1e-3, centroid_learning_rate=1e-3,
+                       warmup_steps=0, total_steps=100, max_grad_norm=1.0)
+    tx = make_optimizer(hp, params)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(updates["rotation"]).max()) == 0.0
+    new_params = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(new_params["rotation"]),
+                                  np.asarray(params["rotation"]))
+    # rotation stays orthogonal after many noisy steps
+    for i in range(5):
+        g = jax.tree.map(lambda x: jnp.ones_like(x) * (i + 1), params)
+        updates, opt_state = tx.update(g, opt_state, new_params)
+        new_params = optax.apply_updates(new_params, updates)
+    r = np.asarray(new_params["rotation"])
+    np.testing.assert_allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-5)
+
+
 def test_train_step_decreases_loss(tiny, rng):
     cfg, params = tiny
     hp = Stage1Hparams(learning_rate=5e-4, centroid_learning_rate=1e-3,
