@@ -47,9 +47,17 @@ def main():
     pidx = PallasIVFIndex(index)
     queries = jnp.asarray(rng.normal(size=(N_QUERIES, D)).astype(np.float32))
 
+    # completion barrier = ONE fused scalar readback (block_until_ready does
+    # not block through the axon tunnel, and each host<->device readback
+    # costs a ~27 ms round trip — two separate readbacks would double-count
+    # tunnel latency into the measurement)
+    @jax.jit
+    def searched_sum(q):
+        s, i = pidx.search_device(q, topk=TOPK, nprobe=NPROBE)
+        return jnp.sum(s) + i[0, 0].astype(jnp.float32)
+
     def run():
-        s, i = pidx.search_device(queries, topk=TOPK, nprobe=NPROBE)
-        return float(jnp.sum(s)) + int(i[0, 0])
+        return float(searched_sum(queries))
 
     run()  # compile
     times = []

@@ -37,6 +37,9 @@ def build_parser():
     parser.add_argument("--num_train_epochs", type=float, default=None)
     parser.add_argument("--dynamic_topk_negative", type=int, default=200)
     parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard the query batch over all devices "
+                             "(the reference's stage-2 is single-GPU)")
     parser.add_argument("--logging_steps", type=int, default=20)
     parser.add_argument("--eval_steps", type=int, default=0)
     parser.add_argument("--save_steps", type=int, default=0)
@@ -90,8 +93,14 @@ def main(argv=None):
 
     batches = batch_iterator(dataset, collator, args.per_device_train_batch_size,
                              seed=args.seed)
+    mesh = None
+    if args.data_parallel:
+        from repconc_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh()
+        logger.info("data-parallel mesh over %d devices", mesh.size)
     out = stage2.train(config, params, codes, batches, hp, args.output_dir,
-                       tokenizer=tokenizer, valid_set=valid_set)
+                       tokenizer=tokenizer, valid_set=valid_set, mesh=mesh)
     logger.info("finished at step %d (best %.5f)", out["step"], out["best_metric"])
 
 

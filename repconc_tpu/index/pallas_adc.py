@@ -20,10 +20,20 @@ group the lane axis is ordered k-major: lane l <-> (m = g*GM + l%GM,
 k = l//GM), matching `pltpu.repeat`'s CONCAT semantics for expanding the
 code columns. The LUT is pre-permuted to the same order outside the kernel
 (cheap, per query batch).
+
+Scheduling: the grid is (doc_tiles, query_tiles) with QUERIES FASTEST, and
+the doc tile's one-hot expansion lives in VMEM scratch: it is built by the
+VPU once per doc tile (at query step 0) and contracted on the MXU against
+every resident query-LUT tile. With Q-fastest ordering the one-hot build —
+which otherwise rivals the matmul in time and caps MXU utilization at ~35%
+— is amortized over Q/QUERY_TILE steps. Scratch persists across grid steps
+(Pallas TPU grids are sequential per core) and the codes block's index map
+is q-invariant, so Pallas skips its re-DMA on non-zero query steps.
 """
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -32,10 +42,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from repconc_tpu.index.flat import _merge_topk
+def _interpret() -> bool:
+    """Pallas interpret mode: on by default off-TPU so every kernel executes
+    (and is correctness-tested) in CPU runs, not only when TPU-gated."""
+    if os.environ.get("REPCONC_PALLAS_INTERPRET") == "1":
+        return True
+    return jax.devices()[0].platform != "tpu"
 
-DOC_TILE = 512    # docs per grid step (VMEM-bound: onehot is NT x gm*K bf16)
-QUERY_TILE = 128  # queries per grid step (VMEM: 2 buffered LUT blocks of QTxMK bf16)
+DOC_TILE = 128     # docs per grid step; bf16 one-hot scratch is NT x M*K
+DOC_TILE_I8 = 256  # int8 one-hot scratch is half the bytes -> bigger tile
+QUERY_TILE = 128   # queries per grid step (2 buffered LUT blocks of QTxMK)
 
 
 def _group_size(M: int, K: int) -> int:
@@ -54,50 +70,59 @@ def permute_lut(lut: jnp.ndarray, gm: int) -> jnp.ndarray:
     return lut.reshape(Q, g, gm, K).transpose(0, 1, 3, 2).reshape(Q, M * K)
 
 
-def _adc_onehot_kernel(gm: int, K: int, lut_ref, codes_ref, out_ref):
-    """lut_ref: (QT, M*K) bf16 grouped-k-major; codes_ref: (NT, M) uint8
-    (widened in VMEM); out_ref: (QT, NT) f32."""
+def _build_onehot(gm: int, K: int, codes_ref, onehot_ref) -> None:
+    """Expand a (NT, M) uint8 code tile into its (NT, M*K) one-hot in VMEM
+    scratch, grouped-k-major to match permute_lut's LUT layout."""
     NT, M = codes_ref.shape
     G = M // gm
     lanes = gm * K
     codes = codes_ref[:].astype(jnp.int32)
-
-    acc = jnp.zeros((out_ref.shape[0], NT), dtype=jnp.float32)
+    k_of_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (NT, lanes), dimension=1) // gm
     for g in range(G):  # static unroll over m-groups
         cols = codes[:, g * gm:(g + 1) * gm]              # (NT, gm)
         expanded = pltpu.repeat(cols, K, axis=1)          # (NT, gm*K) concat
-        k_of_lane = jax.lax.broadcasted_iota(
-            jnp.int32, (NT, lanes), dimension=1) // gm
-        onehot = (expanded == k_of_lane).astype(jnp.bfloat16)
-        lut_g = lut_ref[:, g * lanes:(g + 1) * lanes]     # (QT, gm*K)
-        acc = acc + jax.lax.dot_general(
-            lut_g, onehot,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[:] = acc
+        onehot_ref[:, g * lanes:(g + 1) * lanes] = (
+            expanded == k_of_lane).astype(onehot_ref.dtype)
+
+
+def _adc_onehot_kernel(gm: int, K: int, lut_ref, codes_ref, out_ref,
+                       onehot_ref):
+    """lut_ref: (QT, M*K) bf16 grouped-k-major; codes_ref: (NT, M) uint8
+    (widened in VMEM); out_ref: (QT, NT) f32; onehot_ref: (NT, M*K) bf16
+    scratch, built once per doc tile (query grid axis is fastest) and
+    reused for every query tile."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        _build_onehot(gm, K, codes_ref, onehot_ref)
+
+    out_ref[:] = jax.lax.dot_general(
+        lut_ref[:], onehot_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _adc_onehot_kernel_i8(gm: int, K: int, lut_ref, scale_ref, codes_ref,
-                          out_ref):
+                          out_ref, onehot_ref):
     """int8 variant: lut_ref (QT, M*K) int8 quantized per (query, group)
     with scale_ref (QT, G) f32; the one-hot is int8 so every contraction
-    runs the MXU's s8xs8->s32 path (2x the bf16 rate)."""
+    runs the MXU's s8xs8->s32 path (2x the bf16 rate). Per-group dots so
+    each partial sum is rescaled by its group's dequantization factor."""
     NT, M = codes_ref.shape
     G = M // gm
     lanes = gm * K
-    codes = codes_ref[:].astype(jnp.int32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        _build_onehot(gm, K, codes_ref, onehot_ref)
 
     acc = jnp.zeros((out_ref.shape[0], NT), dtype=jnp.float32)
     for g in range(G):
-        cols = codes[:, g * gm:(g + 1) * gm]
-        expanded = pltpu.repeat(cols, K, axis=1)
-        k_of_lane = jax.lax.broadcasted_iota(
-            jnp.int32, (NT, lanes), dimension=1) // gm
-        onehot = (expanded == k_of_lane).astype(jnp.int8)
         lut_g = lut_ref[:, g * lanes:(g + 1) * lanes]
         part = jax.lax.dot_general(
-            lut_g, onehot,
+            lut_g, onehot_ref[:, g * lanes:(g + 1) * lanes],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
@@ -133,21 +158,23 @@ def adc_scores_pallas_int8(
     gm = _group_size(M, K)
     G = M // gm
     kernel = functools.partial(_adc_onehot_kernel_i8, gm, K)
-    grid = (Q // QUERY_TILE, Nc // DOC_TILE)
+    grid = (Nc // DOC_TILE_I8, Q // QUERY_TILE)  # queries fastest
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((QUERY_TILE, MK), lambda q, n: (q, 0),
+            pl.BlockSpec((QUERY_TILE, MK), lambda n, q: (q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((QUERY_TILE, G), lambda q, n: (q, 0),
+            pl.BlockSpec((QUERY_TILE, G), lambda n, q: (q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((DOC_TILE, M), lambda q, n: (n, 0),
+            pl.BlockSpec((DOC_TILE_I8, M), lambda n, q: (n, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((QUERY_TILE, DOC_TILE), lambda q, n: (q, n),
+        out_specs=pl.BlockSpec((QUERY_TILE, DOC_TILE_I8), lambda n, q: (q, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Q, Nc), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((DOC_TILE_I8, MK), jnp.int8)],
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * Nc * MK,
             bytes_accessed=Nc * M * 4 + Q * MK + Q * Nc * 4,
@@ -167,19 +194,21 @@ def adc_scores_pallas(
     Nc, M = codes.shape
     gm = _group_size(M, K)
     kernel = functools.partial(_adc_onehot_kernel, gm, K)
-    grid = (Q // QUERY_TILE, Nc // DOC_TILE)
+    grid = (Nc // DOC_TILE, Q // QUERY_TILE)  # queries fastest
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((QUERY_TILE, MK), lambda q, n: (q, 0),
+            pl.BlockSpec((QUERY_TILE, MK), lambda n, q: (q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((DOC_TILE, M), lambda q, n: (n, 0),
+            pl.BlockSpec((DOC_TILE, M), lambda n, q: (n, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((QUERY_TILE, DOC_TILE), lambda q, n: (q, n),
+        out_specs=pl.BlockSpec((QUERY_TILE, DOC_TILE), lambda n, q: (q, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Q, Nc), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((DOC_TILE, MK), jnp.bfloat16)],
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * Nc * MK,
             bytes_accessed=Nc * M + Q * MK * 2 + Q * Nc * 4,
@@ -188,37 +217,68 @@ def adc_scores_pallas(
     )(lut_perm, codes)
 
 
+_TOPK_SUB = 8192  # width of the first-stage top-k split (see topk_wide)
+
+
+def topk_wide(scores: jnp.ndarray, k: int, exact: bool = True):
+    """Top-k over a wide score matrix.
+
+    The TPU PartialReduce op (approx_max_k) gets superlinearly expensive in k
+    at large widths: at (1280, 131072) with k=1000 a direct exact call costs
+    ~2.3x more than splitting the width into 8192-wide sub-blocks, taking an
+    exact top-k of each, and merging (both stages exact => result exact).
+    """
+    Q, N = scores.shape
+    k = min(k, N)
+    recall = 1.0 if exact else 0.95
+    nsub = N // _TOPK_SUB
+    # the split only wins at genuinely wide inputs (measured: 2.3x faster at
+    # 16 sub-blocks; 3.6x SLOWER at 2 sub-blocks where direct costs ~4 ms)
+    if nsub < 8 or N % _TOPK_SUB or k > _TOPK_SUB // 4:
+        return jax.lax.approx_max_k(scores, k, recall_target=recall)
+    sub = scores.reshape(Q, nsub, _TOPK_SUB)
+    s1, i1 = jax.lax.approx_max_k(sub, k, recall_target=recall)
+    base = (jnp.arange(nsub, dtype=jnp.int32) * _TOPK_SUB)[None, :, None]
+    i1 = (i1.astype(jnp.int32) + base).reshape(Q, nsub * k)
+    s2, pos = jax.lax.approx_max_k(s1.reshape(Q, nsub * k), k,
+                                   recall_target=recall)
+    return s2, jnp.take_along_axis(i1, pos.astype(jnp.int32), axis=1)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("N", "topk", "K", "chunk", "exact"))
-def _search_device(lut_perm, codes_padded, N: int, topk: int, K: int,
+                   static_argnames=("topk", "K", "chunk", "exact"))
+def _search_device(lut_perm, codes_padded, n_valid, topk: int, K: int,
                    chunk: int, exact: bool):
     """One-dispatch search: lax.scan over corpus chunks, each step = pallas
-    scoring + per-chunk top-k + running merge. codes_padded: (nc*chunk, M)."""
+    scoring + per-chunk top-k; all chunks' candidates are merged by ONE
+    final top-k (a per-chunk running merge costs a ~45 ms sort per chunk).
+    codes_padded: (nc*chunk, M); n_valid: scalar count of real (non-pad)
+    docs — traced, so sharded callers can pass per-device counts."""
     Q = lut_perm.shape[0]
     M = codes_padded.shape[1]
     nc = codes_padded.shape[0] // chunk
     codes_c = codes_padded.reshape(nc, chunk, M)
     local_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    k_chunk = min(topk, chunk)
 
-    def body(carry, xs):
-        best_s, best_i = carry
+    def body(_, xs):
         ci, codes_chunk = xs
         scores = adc_scores_pallas(lut_perm, codes_chunk, K)
         base = ci * chunk
-        valid = (base + local_iota) < N
+        valid = (base + local_iota) < n_valid
         scores = jnp.where(valid, scores, -jnp.inf)
-        # approx_max_k lowers to the TPU PartialReduce op; recall_target=1.0
-        # makes it exact while staying far cheaper than lax.top_k's sort.
-        s, i = jax.lax.approx_max_k(
-            scores, topk, recall_target=1.0 if exact else 0.95)
-        best_s, best_i = _merge_topk(best_s, best_i, s, i.astype(jnp.int32) + base)
-        return (best_s, best_i), None
+        s, i = topk_wide(scores, k_chunk, exact)
+        return None, (s, i.astype(jnp.int32) + base)
 
-    init = (jnp.full((Q, topk), -jnp.inf, dtype=jnp.float32),
-            jnp.zeros((Q, topk), dtype=jnp.int32))
-    (best_s, best_i), _ = jax.lax.scan(
-        body, init, (jnp.arange(nc, dtype=jnp.int32), codes_c))
-    return best_s, best_i
+    _, (all_s, all_i) = jax.lax.scan(
+        body, None, (jnp.arange(nc, dtype=jnp.int32), codes_c))
+    # (nc, Q, k) -> (Q, nc*k); one exact merge across chunks
+    cand_s = jnp.swapaxes(all_s, 0, 1).reshape(Q, nc * k_chunk)
+    cand_i = jnp.swapaxes(all_i, 0, 1).reshape(Q, nc * k_chunk)
+    if nc == 1:
+        return cand_s, cand_i
+    s, pos = topk_wide(cand_s, min(topk, nc * k_chunk), exact)
+    return s, jnp.take_along_axis(cand_i, pos, axis=1)
 
 
 class PallasADCIndex:

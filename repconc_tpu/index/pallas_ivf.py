@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from repconc_tpu.index.adc import build_lut
 from repconc_tpu.index.ivf import IVFIndex, probe_cells
-from repconc_tpu.index.pallas_adc import _group_size, permute_lut
+from repconc_tpu.index.pallas_adc import _group_size, _interpret, permute_lut
 
 QT_G = 32  # query slots per work tile (MXU row occupancy vs pair padding)
 
@@ -33,31 +33,37 @@ QT_G = 32  # query slots per work tile (MXU row occupancy vs pair padding)
 L_SUB = 512  # list sub-tile: bounds the VMEM one-hot regardless of Lpad
 
 
-def _ivf_kernel(gm: int, K: int, work_ref, lut_ref, codes_ref, out_ref):
-    """lut_ref: (QT_G, M*K) bf16; codes_ref: (1, Lpad, M) uint8 (one cell);
-    out_ref: (1, QT_G, Lpad) f32. Sub-tiles the list dimension so the
-    in-VMEM one-hot stays (L_SUB, gm*K) even for long posting lists."""
-    Lpad, M = codes_ref.shape[1], codes_ref.shape[2]
+R_TILES = 2  # work tiles per grid step (fewer, fatter steps amortize per-step
+#              overhead; bounded by VMEM: onehot scratch + R*QT_G LUT rows)
+
+
+def _ivf_kernel(gm: int, K: int, lut_ref, codes_ref, out_ref, onehot_ref):
+    """lut_ref: (R*QT_G, M*K) bf16; codes_ref: (R, Lpad, M) uint8 (R cells,
+    pre-gathered tile-major on the XLA side); out_ref: (R, QT_G, Lpad) f32;
+    onehot_ref: (L_SUB, M*K) bf16 scratch. Each cell's one-hot expansion is
+    built once on the VPU and contracted against its tile's QT_G LUT rows on
+    the MXU; the list dimension is sub-tiled so scratch stays (L_SUB, M*K)
+    for any Lpad."""
+    R, Lpad, M = codes_ref.shape
     G = M // gm
     lanes = gm * K
     sub = min(L_SUB, Lpad)
 
-    for s0 in range(0, Lpad, sub):
-        codes = codes_ref[0, s0:s0 + sub, :].astype(jnp.int32)  # (sub, M)
-        acc = jnp.zeros((out_ref.shape[1], sub), dtype=jnp.float32)
-        for g in range(G):
-            cols = codes[:, g * gm:(g + 1) * gm]
-            expanded = pltpu.repeat(cols, K, axis=1)      # (sub, gm*K)
-            k_of_lane = jax.lax.broadcasted_iota(
-                jnp.int32, (sub, lanes), dimension=1) // gm
-            onehot = (expanded == k_of_lane).astype(jnp.bfloat16)
-            lut_g = lut_ref[:, g * lanes:(g + 1) * lanes]
-            acc = acc + jax.lax.dot_general(
-                lut_g, onehot,
+    k_of_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (sub, lanes), dimension=1) // gm
+    for r in range(R):
+        for s0 in range(0, Lpad, sub):
+            codes = codes_ref[r, s0:s0 + sub, :].astype(jnp.int32)  # (sub, M)
+            for g in range(G):
+                cols = codes[:, g * gm:(g + 1) * gm]
+                expanded = pltpu.repeat(cols, K, axis=1)      # (sub, gm*K)
+                onehot_ref[:, g * lanes:(g + 1) * lanes] = (
+                    expanded == k_of_lane).astype(jnp.bfloat16)
+            out_ref[r, :, s0:s0 + sub] = jax.lax.dot_general(
+                lut_ref[r * QT_G:(r + 1) * QT_G, :], onehot_ref[:sub],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, :, s0:s0 + sub] = acc
 
 
 TILE_CHUNK = 512  # work tiles per lax.map step (bounds the LUT-row gather)
@@ -69,9 +75,13 @@ def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int):
     lut_z is a zero row for empty slots); lut_z: (Q+1, MK) bf16;
     cell_codes_u8: (nlist, Lpad, M) uint8. Returns (T, QT_G, Lpad) f32.
 
-    Work tiles are processed in TILE_CHUNK groups under lax.map so the
-    gathered LUT-row array peaks at TILE_CHUNK*QT_G*MK bf16 (~400MB) instead
-    of materializing all T*QT_G rows (~6GB at 8.8M-doc scale).
+    The tiles' cell code blocks are pre-gathered tile-major (a cheap row
+    gather: codes are M bytes/doc), so the kernel's block pipeline is fully
+    sequential — no scalar-prefetch indexed DMA — and R_TILES tiles are
+    processed per grid step to amortize per-step overhead. Work tiles are
+    processed in TILE_CHUNK groups under lax.map so the gathered LUT-row
+    array peaks at TILE_CHUNK*QT_G*MK bf16 (~400MB) instead of materializing
+    all T*QT_G rows (~6GB at 8.8M-doc scale).
     """
     T = work_cell.shape[0]
     MK = lut_z.shape[1]
@@ -79,25 +89,23 @@ def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int):
     gm = _group_size(M, K)
     kernel = functools.partial(_ivf_kernel, gm, K)
 
-    tc = min(TILE_CHUNK, T)
+    tc = min(TILE_CHUNK, ((T + R_TILES - 1) // R_TILES) * R_TILES)
     Tpad = ((T + tc - 1) // tc) * tc
     work_p = jnp.pad(work_cell, (0, Tpad - T))
     qidx_p = jnp.pad(qidx, ((0, Tpad - T), (0, 0)),
                      constant_values=lut_z.shape[0] - 1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(tc,),
-        in_specs=[
-            pl.BlockSpec((QT_G, MK), lambda t, work: (t, 0)),
-            pl.BlockSpec((1, Lpad, M), lambda t, work: (work[t], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, QT_G, Lpad), lambda t, work: (t, 0, 0)),
-    )
     call = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(tc // R_TILES,),
+        in_specs=[
+            pl.BlockSpec((R_TILES * QT_G, MK), lambda t: (t, 0)),
+            pl.BlockSpec((R_TILES, Lpad, M), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R_TILES, QT_G, Lpad), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((tc, QT_G, Lpad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((min(L_SUB, Lpad), MK), jnp.bfloat16)],
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * tc * QT_G * Lpad * MK,
             bytes_accessed=tc * (QT_G * MK * 2 + Lpad * M + QT_G * Lpad * 4),
@@ -108,7 +116,8 @@ def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int):
     def chunk_fn(args):
         wc, qi = args  # (tc,), (tc, QT_G)
         lut_rows = jnp.take(lut_z, qi.reshape(-1), axis=0)  # (tc*QT_G, MK)
-        return call(wc, lut_rows, cell_codes_u8)
+        tile_codes = jnp.take(cell_codes_u8, wc, axis=0)    # (tc, Lpad, M)
+        return call(lut_rows, tile_codes)
 
     out = jax.lax.map(chunk_fn, (work_p.reshape(-1, tc),
                                  qidx_p.reshape(-1, tc, QT_G)))
@@ -180,6 +189,169 @@ def _ivf_search_device(
     s, pos = jax.lax.approx_max_k(cand_scores, k, recall_target=1.0)
     ids = jnp.take_along_axis(cand_ids, pos, axis=1)
     return s, ids
+
+
+class ShardedPallasIVFIndex:
+    """IVF-PQ index with CELLS sharded round-robin over a device mesh.
+
+    The reference replicates its GPU index on every device
+    (evaluate_repconc.py:121-135, GpuMultipleClonerOptions(shard=False));
+    here device d owns the cells {c : c % W == d}, so index memory scales
+    1/W. Each device builds work tiles for its OWN (query, cell) pairs,
+    scores them with the cell-grouped kernel, takes a local top-k over its
+    candidates, and one all_gather + re-top-k merges — every pair is scored
+    by exactly one device, so the merge is exact.
+
+    SPMD static shapes force a per-device tile CAPACITY (like MoE expert
+    capacity): T_cap = ceil(P/(W*QT_G) * capacity_factor) + nlist_local + 1.
+    Round-robin ownership makes per-device pair counts Binomial(P, 1/W)
+    (relative sigma ~1% at P=77k, W=8), so the default 1.5x factor leaves
+    overflow probability negligible; the search additionally RETURNS the
+    overflow count so callers can detect and retry with a larger factor —
+    overflowed pairs are dropped from scoring, never silently mis-scored.
+    """
+
+    def __init__(self, mesh, index: IVFIndex, capacity_factor: float = 1.5):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        W = mesh.size
+        self.capacity_factor = capacity_factor
+        self.K = index.centroids.shape[1]
+        nlist, Lpad, M = index.cell_codes.shape
+        self.nlist = nlist
+        self.nlist_local = -(-nlist // W)
+        npad = self.nlist_local * W
+
+        # round-robin permutation: new row (c % W) * nlist_local + c // W
+        codes_p = np.zeros((npad, Lpad, M), dtype=np.uint8)
+        ids_p = np.full((npad, Lpad), -1, dtype=np.int32)
+        c = np.arange(nlist)
+        dest = (c % W) * self.nlist_local + c // W
+        codes_p[dest] = index.cell_codes
+        ids_p[dest] = index.cell_ids
+
+        shard = NamedSharding(mesh, P(self.axis))
+        repl = NamedSharding(mesh, P())
+        self.cell_codes = jax.device_put(jnp.asarray(codes_p), shard)
+        self.cell_ids = jax.device_put(jnp.asarray(ids_p), shard)
+        self.coarse = jax.device_put(
+            jnp.asarray(index.coarse_centroids), repl)
+        self._repl = repl
+        self.set_centroids(index.centroids)
+        self.spill = None
+        if len(index.spill_ids):
+            from repconc_tpu.index.pallas_adc import PallasADCIndex
+
+            self.spill = PallasADCIndex(index.spill_codes, index.centroids)
+            self.spill_ids = index.spill_ids
+
+    def set_centroids(self, centroids):
+        self.centroids = jax.device_put(
+            jnp.asarray(centroids, dtype=jnp.float32), self._repl)
+        if getattr(self, "spill", None) is not None:
+            self.spill.set_centroids(centroids)
+
+    def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        q = jnp.asarray(query_embeds, dtype=jnp.float32)
+        Q = q.shape[0]
+        nprobe = min(nprobe, self.nlist)
+        W = self.mesh.size
+        P_pairs = Q * nprobe
+        T_cap = (int(P_pairs * self.capacity_factor) // (W * QT_G)
+                 + self.nlist_local + 1)
+        axis, nlist_local, K = self.axis, self.nlist_local, self.K
+        gm = _group_size(self.cell_codes.shape[2], K)
+
+        def local_fn(q, coarse, pq_cent, cell_codes_l, cell_ids_l):
+            d = jax.lax.axis_index(axis)
+            Lpad = cell_codes_l.shape[1]
+            cells = probe_cells(q, coarse, nprobe)          # GLOBAL cell ids
+            pair_cell = cells.reshape(-1)
+            pair_q = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), nprobe)
+            owned = (pair_cell % W) == d
+            local_cell = pair_cell // W
+            key = jnp.where(owned, local_cell, nlist_local)  # sentinel last
+            order = jnp.argsort(key, stable=True)
+            sk = jnp.take(key, order)
+            sq = jnp.take(pair_q, order)
+            so = jnp.take(owned, order)
+
+            first_pos = jnp.searchsorted(sk, sk, side="left")
+            rank = jnp.arange(P_pairs, dtype=jnp.int32) - first_pos.astype(jnp.int32)
+            work_id = jnp.cumsum(((rank % QT_G) == 0).astype(jnp.int32)) - 1
+            slot = rank % QT_G
+            valid = so & (work_id < T_cap)
+            overflow = jnp.sum((so & ~valid).astype(jnp.int32))
+            overflow = jax.lax.psum(overflow, axis)
+
+            # OOB scatter indices are dropped (JAX default), masking invalid
+            wid = jnp.where(valid, work_id, T_cap)
+            row = wid * QT_G + slot
+            work_cell = jnp.zeros((T_cap,), jnp.int32).at[wid].set(sk)
+            lut = permute_lut(build_lut(q, pq_cent), gm).astype(jnp.bfloat16)
+            MK = lut.shape[1]
+            lut_z = jnp.concatenate([lut, jnp.zeros((1, MK), jnp.bfloat16)], 0)
+            qidx = jnp.full((T_cap * QT_G,), Q, jnp.int32).at[row].set(
+                jnp.where(valid, sq, Q))
+            qidx = qidx.reshape(T_cap, QT_G)
+
+            scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_l, K)
+            scores_flat = scores.reshape(T_cap * QT_G, Lpad)
+
+            by_q = jnp.argsort(sq, stable=True)
+            rows_pq = jnp.take(row, by_q).reshape(Q, nprobe)
+            cells_pq = jnp.take(sk, by_q).reshape(Q, nprobe)
+            valid_pq = jnp.take(valid, by_q).reshape(Q, nprobe)
+
+            cand_s = jnp.take(scores_flat,
+                              jnp.clip(rows_pq, 0, T_cap * QT_G - 1).reshape(-1),
+                              axis=0).reshape(Q, nprobe, Lpad)
+            cand_i = jnp.take(cell_ids_l,
+                              jnp.clip(cells_pq, 0, nlist_local - 1).reshape(-1),
+                              axis=0).reshape(Q, nprobe, Lpad)
+            keep = valid_pq[:, :, None] & (cand_i >= 0)
+            cand_s = jnp.where(keep, cand_s, -jnp.inf).reshape(Q, nprobe * Lpad)
+            cand_i = cand_i.reshape(Q, nprobe * Lpad)
+
+            k_l = min(topk, nprobe * Lpad)
+            s_l, pos = jax.lax.approx_max_k(cand_s, k_l, recall_target=1.0)
+            i_l = jnp.take_along_axis(cand_i, pos.astype(jnp.int32), axis=1)
+            all_s = jax.lax.all_gather(s_l, axis, axis=1, tiled=True)
+            all_i = jax.lax.all_gather(i_l, axis, axis=1, tiled=True)
+            k_g = min(topk, all_s.shape[1])
+            s, pos = jax.lax.approx_max_k(all_s, k_g, recall_target=1.0)
+            ids = jnp.take_along_axis(all_i, pos.astype(jnp.int32), axis=1)
+            return s, ids, overflow
+
+        fn = shard_map(local_fn, mesh=self.mesh,
+                       in_specs=(P(), P(), P(), P(axis), P(axis)),
+                       out_specs=(P(), P(), P()), check_vma=False)
+        s, ids, overflow = jax.jit(fn)(q, self.coarse, self.centroids,
+                                       self.cell_codes, self.cell_ids)
+        return s, ids, overflow
+
+    def search(self, query_embeds, topk: int = 1000, nprobe: int = 64):
+        s, i, overflow = self.search_device(query_embeds, topk, nprobe)
+        if int(overflow) > 0:
+            raise RuntimeError(
+                f"sharded IVF tile capacity overflow ({int(overflow)} pairs);"
+                " retry with a larger capacity_factor")
+        s, i = np.asarray(s), np.asarray(i)
+        if self.spill is not None:
+            s_sp, i_sp = self.spill.search(query_embeds,
+                                           topk=min(topk, len(self.spill_ids)))
+            ids_sp = self.spill_ids[i_sp]
+            s = np.concatenate([s, s_sp], axis=1)
+            i = np.concatenate([i, ids_sp], axis=1)
+            order = np.argsort(-s, axis=1)[:, :topk]
+            s = np.take_along_axis(s, order, axis=1)
+            i = np.take_along_axis(i, order, axis=1)
+        return s, i
 
 
 class PallasIVFIndex:

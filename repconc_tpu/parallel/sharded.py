@@ -97,6 +97,85 @@ def sharded_adc_search(
     return np.asarray(s), np.asarray(i)
 
 
+class ShardedPallasADCIndex:
+    """Corpus-sharded Pallas PQ index: each device holds N/W codes in HBM,
+    scans its shard with the one-hot MXU kernel, and one all_gather merges
+    the local top-k lists.
+
+    The reference REPLICATES its GPU index on every device
+    (GpuMultipleClonerOptions(shard=False), evaluate_repconc.py:121-135);
+    sharding scales index memory 1/W with identical results.
+    """
+
+    def __init__(self, mesh: Mesh, codes, centroids, chunk_size: int = 1 << 17):
+        from repconc_tpu.index import pallas_adc
+
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        W = mesh.size
+        codes = np.asarray(codes)
+        self.N, self.M = codes.shape
+        self.K = centroids.shape[1]
+        n_local = -(-self.N // W)  # ceil
+        self.chunk = min(chunk_size,
+                         pallas_adc._round_up(n_local, pallas_adc.DOC_TILE))
+        n_local = pallas_adc._round_up(n_local, self.chunk)
+        padded = np.zeros((W * n_local, self.M), dtype=np.uint8)
+        padded[:self.N] = codes
+        self.n_local = n_local
+        self.codes = jax.device_put(
+            jnp.asarray(padded), NamedSharding(mesh, P(self.axis)))
+        self.set_centroids(centroids)
+
+    def set_centroids(self, centroids):
+        self.centroids = jax.device_put(
+            jnp.asarray(centroids, dtype=jnp.float32),
+            NamedSharding(self.mesh, P()))
+
+    def search_device(self, query_embeds, topk: int = 1000, exact: bool = True):
+        from repconc_tpu.index import pallas_adc
+        from repconc_tpu.index.adc import build_lut
+
+        q = jnp.asarray(query_embeds, dtype=jnp.float32)
+        Q = q.shape[0]
+        gm = pallas_adc._group_size(self.M, self.K)
+        lut = pallas_adc.permute_lut(
+            build_lut(q, self.centroids), gm).astype(jnp.bfloat16)
+        qpad = (-Q) % pallas_adc.QUERY_TILE
+        if qpad:
+            lut = jnp.pad(lut, ((0, qpad), (0, 0)))
+        topk_g = min(topk, self.N)
+        topk_l = min(topk_g, self.n_local)
+        n_local, axis, N = self.n_local, self.axis, self.N
+
+        def local_fn(lut_, codes_shard):
+            d = jax.lax.axis_index(axis)
+            base = d * n_local
+            n_valid = jnp.clip(N - base, 0, n_local)
+            s, i = pallas_adc._search_device(
+                lut_, codes_shard, n_valid, topk_l, self.K, self.chunk, exact)
+            return _local_topk_gather_merge(s, i + base, topk_g, axis)
+
+        fn = shard_map(local_fn, mesh=self.mesh,
+                       in_specs=(P(), P(axis)), out_specs=(P(), P()),
+                       check_vma=False)
+        s, i = jax.jit(fn)(lut, self.codes)
+        return s[:Q], i[:Q]
+
+    def search(self, query_embeds, topk: int = 1000, exact: bool = True):
+        s, i = self.search_device(query_embeds, topk, exact)
+        return np.asarray(s), np.asarray(i)
+
+
+def _local_topk_gather_merge(s, i, topk: int, axis_name: str):
+    """Merge per-device (Q, k_local) candidates into global (Q, topk)."""
+    all_s = jax.lax.all_gather(s, axis_name, axis=1, tiled=True)
+    all_i = jax.lax.all_gather(i, axis_name, axis=1, tiled=True)
+    k = min(topk, all_s.shape[1])
+    ms, pos = jax.lax.approx_max_k(all_s, k, recall_target=1.0)
+    return ms, jnp.take_along_axis(all_i, pos.astype(jnp.int32), axis=1)
+
+
 def sharded_encode_fn(mesh: Mesh, encode_fn: Callable) -> Callable:
     """Wrap a (params, ids, mask) -> embeds function so the batch shards
     over the mesh's data axis (the SPMD replacement for the reference's

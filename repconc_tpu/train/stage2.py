@@ -71,15 +71,27 @@ class Stage2Hparams:
         )
 
 
-def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes):
-    """codes: (N, M) frozen doc codes, device-resident (uint8 -> int32)."""
+def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes,
+                    mesh=None):
+    """codes: (N, M) frozen doc codes, device-resident (uint8 -> int32).
+
+    With `mesh`, the step is built for a dp-sharded query batch (codes and
+    params replicated; XLA partitions the in-step retrieval einsums over the
+    batch shards). The Pallas search path is disabled under a mesh — a
+    pallas_call is an opaque custom call GSPMD cannot partition; the XLA
+    scoring path shards cleanly."""
     N = codes.shape[0]
     mcc = config.similarity_metric == METRIC_CENTROID_COS
     k = hp.dynamic_topk_negative
 
     use_pallas = hp.use_pallas_search
     if use_pallas is None:
-        use_pallas = (jax.devices()[0].platform != "cpu") and N >= 100_000
+        use_pallas = (mesh is None and
+                      jax.devices()[0].platform != "cpu" and N >= 100_000)
+    if mesh is not None and use_pallas:
+        logger.warning("use_pallas_search forced off: mesh-sharded stage-2 "
+                       "uses the GSPMD-partitionable XLA search path")
+        use_pallas = False
     if use_pallas:
         from repconc_tpu.index import pallas_adc
 
@@ -176,10 +188,13 @@ def train(
     valid_set: Optional[Tuple[np.ndarray, Dict, Dict]] = None,
     metric_for_best: str = "MRR@10",
     log_fn=None,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Stage-2 loop. valid_set = (corpus_ids, queries, qrels): evaluation
     re-encodes queries and searches the FROZEN codes with live centroids
-    (reference: finetune_jpq.py:274-319)."""
+    (reference: finetune_jpq.py:274-319). With `mesh`, the query batch is
+    sharded over the mesh's dp axis (the reference's stage-2 is single-GPU,
+    run_train_jpq.py:95 — this is a capability the reference lacks)."""
     from repconc_tpu.eval.encode import encode_queries
     from repconc_tpu.eval.pipeline import run_from_topk
     from repconc_tpu.eval.trec import evaluate_run
@@ -194,7 +209,19 @@ def train(
             ckpt_dir, params, opt_state)
         logger.info("resumed from step %d (best %.5f)", start_step, best)
 
-    step_fn = jax.jit(make_train_step(config, hp, tx, codes))
+    step_fn = make_train_step(config, hp, tx, codes, mesh=mesh)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("dp"))
+        step_fn = jax.jit(step_fn,
+                          in_shardings=(repl, repl, data, repl),
+                          out_shardings=(repl, repl, repl, repl))
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+    else:
+        step_fn = jax.jit(step_fn)
     rng = jax.random.key(hp.seed)
     log = log_fn or (lambda d: logger.info("%s", d))
     history = []

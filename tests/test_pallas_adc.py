@@ -1,7 +1,9 @@
 """Pallas ADC kernel tests.
 
-The permutation/layout logic is validated on CPU; the kernel itself needs
-real TPU hardware (Mosaic ops) and runs only with REPCONC_TEST_TPU=1.
+The permutation/layout logic is validated in numpy; the kernels themselves
+run in EVERY suite run — compiled by Mosaic on real TPU (REPCONC_TEST_TPU=1),
+in Pallas interpret mode otherwise (pallas_adc._interpret), so kernel
+correctness is never gated on hardware availability.
 """
 import os
 
@@ -64,8 +66,8 @@ def test_onehot_contraction_equivalence(rng):
     np.testing.assert_allclose(scores, direct, rtol=1e-5)
 
 
-@pytest.mark.skipif(not ON_TPU, reason="needs real TPU (Mosaic kernel)")
-def test_kernel_on_tpu(rng):
+def test_kernel_parity(rng):
+    """Pallas brute-force search == XLA adc_search (Mosaic on TPU, interpret elsewhere)."""
     from repconc_tpu.index.adc import adc_search
     from repconc_tpu.index.pallas_adc import PallasADCIndex
 
@@ -98,8 +100,7 @@ def test_quantize_lut_int8_roundtrip(rng):
     assert (err <= bound).all()
 
 
-@pytest.mark.skipif(not ON_TPU, reason="needs real TPU (Mosaic kernel)")
-def test_int8_kernel_on_tpu(rng):
+def test_int8_kernel_parity(rng):
     from repconc_tpu.index.adc import build_lut, score_codes
     from repconc_tpu.index.pallas_adc import (
         adc_scores_pallas_int8, quantize_lut_int8)
@@ -121,8 +122,7 @@ def test_int8_kernel_on_tpu(rng):
     assert overlap > 0.9, overlap
 
 
-@pytest.mark.skipif(not ON_TPU, reason="needs real TPU (Mosaic kernel)")
-def test_pallas_ivf_on_tpu(rng):
+def test_pallas_ivf_parity(rng):
     from repconc_tpu.index.ivf import build_ivf, search_xla
     from repconc_tpu.index.pallas_ivf import PallasIVFIndex
     from repconc_tpu.index.kmeans import pq_fit, pq_encode_chunked

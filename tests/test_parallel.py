@@ -63,3 +63,41 @@ def test_sharded_encode(mesh, rng):
     sharded = sharded_encode_fn(mesh, encode)(params, ids, mask)
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_pallas_adc_matches_single(mesh, rng):
+    """Corpus-sharded Pallas PQ index == single-device Pallas index."""
+    from repconc_tpu.index.pallas_adc import PallasADCIndex
+    from repconc_tpu.parallel.sharded import ShardedPallasADCIndex
+
+    M, K, dsub = 8, 16, 4
+    N = 2100  # not divisible by 8: exercises per-shard valid masking
+    q = rng.normal(size=(6, M * dsub)).astype(np.float32)
+    cent = rng.normal(size=(M, K, dsub)).astype(np.float32)
+    codes = rng.integers(0, K, size=(N, M)).astype(np.uint8)
+    s1, i1 = ShardedPallasADCIndex(mesh, codes, cent).search(q, topk=16)
+    s2, i2 = PallasADCIndex(codes, cent).search(q, topk=16)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-4)
+    overlap = np.mean([len(set(i1[r]) & set(i2[r])) / 16 for r in range(6)])
+    assert overlap > 0.9, overlap  # ties may permute
+
+
+def test_sharded_pallas_ivf_matches_single(mesh, rng):
+    """Cell-sharded Pallas IVF == single-device Pallas IVF, zero overflow."""
+    from repconc_tpu.index.ivf import build_ivf
+    from repconc_tpu.index.kmeans import pq_fit, pq_encode_chunked
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex, ShardedPallasIVFIndex
+
+    N, D, M, K = 4000, 32, 8, 16
+    embeds = rng.normal(size=(N, D)).astype(np.float32)
+    cent, _ = pq_fit(jnp.asarray(embeds[:1500]), M=M, K=K, iters=4)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=2048)
+    index = build_ivf(embeds, codes, cent, nlist=24, kmeans_iters=4)
+    queries = embeds[:8]
+    s1, i1 = ShardedPallasIVFIndex(mesh, index).search(queries, topk=10, nprobe=6)
+    s2, i2 = PallasIVFIndex(index).search(queries, topk=10, nprobe=6)
+    overlap = np.mean([len(set(i1[r]) & set(i2[r])) / 10 for r in range(8)])
+    assert overlap > 0.9, overlap
+    finite = np.isfinite(s1) & np.isfinite(s2)
+    np.testing.assert_allclose(s1[finite], s2[finite], rtol=1e-4, atol=1e-4)
