@@ -19,6 +19,13 @@
 #   8  encode + build PQ index + eval (flat ADC or IVF)
 #   9  stage-2 JPQ training on frozen codes
 #   10 eval stage-2 query encoder against stage-8 codes
+#
+# Sibling recipes (first-class, after stages 2-5):
+#   opq-eval   evaluate the OPQ warmup checkpoint directly
+#              (reference: examples/tas-balanced/opq/6_run_opq_eval.sh)
+#   jpq-train  stage-2 JPQ on the WARMUP model + warmup codes, skipping
+#              RepCONC stage-1 (reference: examples/tas-balanced/jpq/6_run_jpq_train.sh)
+#   jpq-eval   evaluate the jpq-train query encoder against the warmup codes
 set -eu
 
 CONFIG="$1"; shift
@@ -161,6 +168,51 @@ case $STAGE in
     --qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
     --out_corpus_dir "${OUT_ROOT}/m${M}/conc_index" \
     --out_query_dir "${OUT_ROOT}/m${M}/jpq_index/dev" \
+    --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000
+  ;;
+opq-eval)
+  # OPQ-only: score the warmup checkpoint's codes on dev, no finetuning
+  python -m repconc_tpu.cli.run_repconc_eval \
+    --model_name_or_path "${OUT_ROOT}/m${M}/warmup_model" ${ADAPTER_FLAG} \
+    --corpus_path "${DATA_DIR}/corpus.tsv" \
+    --query_path "${DATA_DIR}/queries.dev.small.tsv" \
+    --qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
+    --out_corpus_dir "${OUT_ROOT}/m${M}/opq_index" \
+    --out_query_dir "${OUT_ROOT}/m${M}/opq_index/dev" \
+    --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000 \
+    ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64} \
+      --corpus_embed_path "${OUT_ROOT}/dense/corpus_embeds.npy"}
+  ;;
+jpq-train)
+  # JPQ-only: stage-2 on the warmup model + warmup codes (stage-1 skipped);
+  # reference hyperparameters from examples/tas-balanced/jpq/6_run_jpq_train.sh
+  python -m repconc_tpu.cli.run_train_jpq \
+    --model_name_or_path "${OUT_ROOT}/m${M}/warmup_model" ${ADAPTER_FLAG} \
+    --index_dir "${OUT_ROOT}/m${M}/warmup_index" \
+    --qrel_path "${DATA_DIR}/qrels.train.tsv" \
+    --query_path "${DATA_DIR}/queries.train.tsv" \
+    --valid_qrel_path "${OUT_ROOT}/valid/qrels.tsv" \
+    --valid_query_path "${OUT_ROOT}/valid/queries.tsv" \
+    --max_query_len 32 \
+    --output_dir "${OUT_ROOT}/m${M}/jpq_only" \
+    --per_device_train_batch_size ${JPQ_BATCH:-128} \
+    --learning_rate 5e-6 --centroid_learning_rate 2e-4 \
+    --dynamic_topk_negative 200 \
+    --max_steps ${JPQ_STEPS:-4000} \
+    --logging_steps 20 --eval_steps 200 --save_steps 200
+  ;;
+jpq-eval)
+  # warmup_index already holds codes.npy/corpus_ids.npy — reused as-is
+  # (jpq-train trained against exactly these codes); centroids come from
+  # the jpq query encoder (the stage-2 centroid swap).
+  python -m repconc_tpu.cli.run_repconc_eval \
+    --doc_encoder_path "${OUT_ROOT}/m${M}/warmup_model" ${ADAPTER_FLAG} \
+    --query_encoder_path "$(best_or_final "${OUT_ROOT}/m${M}/jpq_only")" \
+    --corpus_path "${DATA_DIR}/corpus.tsv" \
+    --query_path "${DATA_DIR}/queries.dev.small.tsv" \
+    --qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
+    --out_corpus_dir "${OUT_ROOT}/m${M}/warmup_index" \
+    --out_query_dir "${OUT_ROOT}/m${M}/jpq_only_index/dev" \
     --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000
   ;;
 *)

@@ -16,14 +16,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_TOPK_SUB = 8192  # width of the first-stage top-k split (see topk_wide)
+
+
+def topk_wide(scores: jnp.ndarray, k: int, exact: bool = True):
+    """Exact top-k over a wide score matrix via the TPU PartialReduce op.
+
+    approx_max_k at recall_target=1.0 is exact but gets superlinearly
+    expensive in k at large widths: at (1280, 131072) with k=1000 a direct
+    call costs ~2.3x more than splitting the width into 8192-wide sub-blocks,
+    taking an exact top-k of each, and merging (both stages exact => result
+    exact). `lax.top_k` at k~1000 lowers to a full sort that can wedge the
+    compiler for 10+ minutes — never used here.
+    """
+    Q, N = scores.shape
+    k = min(k, N)
+    recall = 1.0 if exact else 0.95
+    nsub = N // _TOPK_SUB
+    # the split only wins at genuinely wide inputs (measured: 2.3x faster at
+    # 16 sub-blocks; 3.6x SLOWER at 2 sub-blocks where direct costs ~4 ms)
+    if nsub < 8 or N % _TOPK_SUB or k > _TOPK_SUB // 4:
+        return jax.lax.approx_max_k(scores, k, recall_target=recall)
+    sub = scores.reshape(Q, nsub, _TOPK_SUB)
+    s1, i1 = jax.lax.approx_max_k(sub, k, recall_target=recall)
+    base = (jnp.arange(nsub, dtype=jnp.int32) * _TOPK_SUB)[None, :, None]
+    i1 = (i1.astype(jnp.int32) + base).reshape(Q, nsub * k)
+    s2, pos = jax.lax.approx_max_k(s1.reshape(Q, nsub * k), k,
+                                   recall_target=recall)
+    return s2, jnp.take_along_axis(i1, pos.astype(jnp.int32), axis=1)
+
+
 @partial(jax.jit, static_argnames=("topk",))
 def _chunk_topk(queries, corpus_chunk, base, topk: int):
     # HIGHEST: the dense baseline's ranking must be exact fp32 (TPU default
-    # precision would score through bf16 and perturb close rankings)
+    # precision would route this matmul through bf16 and perturb rankings)
     scores = jnp.dot(queries, corpus_chunk.T, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-    k = min(topk, corpus_chunk.shape[0])
-    s, i = jax.lax.top_k(scores, k)
+    s, i = topk_wide(scores, min(topk, corpus_chunk.shape[0]))
     return s, i + base
 
 
@@ -32,8 +61,8 @@ def _merge_topk(best_s, best_i, new_s, new_i):
     s = jnp.concatenate([best_s, new_s], axis=1)
     i = jnp.concatenate([best_i, new_i], axis=1)
     topk = best_s.shape[1]
-    ms, mpos = jax.lax.top_k(s, topk)
-    return ms, jnp.take_along_axis(i, mpos, axis=1)
+    ms, mpos = jax.lax.approx_max_k(s, topk, recall_target=1.0)
+    return ms, jnp.take_along_axis(i, mpos.astype(jnp.int32), axis=1)
 
 
 def flat_search(

@@ -217,32 +217,7 @@ def adc_scores_pallas(
     )(lut_perm, codes)
 
 
-_TOPK_SUB = 8192  # width of the first-stage top-k split (see topk_wide)
-
-
-def topk_wide(scores: jnp.ndarray, k: int, exact: bool = True):
-    """Top-k over a wide score matrix.
-
-    The TPU PartialReduce op (approx_max_k) gets superlinearly expensive in k
-    at large widths: at (1280, 131072) with k=1000 a direct exact call costs
-    ~2.3x more than splitting the width into 8192-wide sub-blocks, taking an
-    exact top-k of each, and merging (both stages exact => result exact).
-    """
-    Q, N = scores.shape
-    k = min(k, N)
-    recall = 1.0 if exact else 0.95
-    nsub = N // _TOPK_SUB
-    # the split only wins at genuinely wide inputs (measured: 2.3x faster at
-    # 16 sub-blocks; 3.6x SLOWER at 2 sub-blocks where direct costs ~4 ms)
-    if nsub < 8 or N % _TOPK_SUB or k > _TOPK_SUB // 4:
-        return jax.lax.approx_max_k(scores, k, recall_target=recall)
-    sub = scores.reshape(Q, nsub, _TOPK_SUB)
-    s1, i1 = jax.lax.approx_max_k(sub, k, recall_target=recall)
-    base = (jnp.arange(nsub, dtype=jnp.int32) * _TOPK_SUB)[None, :, None]
-    i1 = (i1.astype(jnp.int32) + base).reshape(Q, nsub * k)
-    s2, pos = jax.lax.approx_max_k(s1.reshape(Q, nsub * k), k,
-                                   recall_target=recall)
-    return s2, jnp.take_along_axis(i1, pos.astype(jnp.int32), axis=1)
+from repconc_tpu.index.flat import topk_wide  # noqa: E402  (shared top-k)
 
 
 @functools.partial(jax.jit,

@@ -139,3 +139,17 @@ def test_pallas_ivf_parity(rng):
     overlap = np.mean([len(set(i_pal[q]) & set(i_ref[q])) / 10
                        for q in range(16)])
     assert overlap > 0.9, overlap
+
+
+def test_topk_wide_matches_direct(rng):
+    from repconc_tpu.index.pallas_adc import topk_wide
+
+    for Q, N, k in ((4, 8192 * 8, 100), (3, 8192 * 8, 1000), (2, 5000, 50)):
+        scores = jnp.asarray(rng.normal(size=(Q, N)).astype(np.float32))
+        s1, i1 = topk_wide(scores, k)
+        s2, i2 = jax.lax.top_k(scores, min(k, N))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+        # ids agree except possibly within exact ties
+        same = np.asarray(s1) == np.asarray(s2)
+        np.testing.assert_array_equal(np.asarray(i1)[same & (s1 == s1)],
+                                      np.asarray(i2)[same & (s1 == s1)])

@@ -101,3 +101,24 @@ def test_sharded_pallas_ivf_matches_single(mesh, rng):
     assert overlap > 0.9, overlap
     finite = np.isfinite(s1) & np.isfinite(s2)
     np.testing.assert_allclose(s1[finite], s2[finite], rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_pallas_ivf_overflow_detection(mesh, rng):
+    """A deliberately tiny capacity factor must be DETECTED (overflow
+    count > 0 raises), never silently drop pairs."""
+    from repconc_tpu.index.ivf import build_ivf
+    from repconc_tpu.index.kmeans import pq_fit, pq_encode_chunked
+    from repconc_tpu.index.pallas_ivf import ShardedPallasIVFIndex
+
+    N, D, M, K = 1500, 32, 8, 16
+    embeds = rng.normal(size=(N, D)).astype(np.float32)
+    cent, _ = pq_fit(jnp.asarray(embeds[:800]), M=M, K=K, iters=3)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
+    index = build_ivf(embeds, codes, cent, nlist=16, kmeans_iters=3)
+    sharded = ShardedPallasIVFIndex(mesh, index, capacity_factor=0.01)
+    # 64 queries x nprobe=16 over 16 cells, 8 devices: each device owns 2
+    # cells, each probed by all 64 queries -> 2 tiles/cell = 4 owned tiles,
+    # but T_cap = 0 + nlist_local(2) + 1 = 3 -> one tile overflows
+    with pytest.raises(RuntimeError, match="capacity overflow"):
+        sharded.search(embeds[:64], topk=10, nprobe=16)
