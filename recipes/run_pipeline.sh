@@ -125,7 +125,7 @@ case $STAGE in
     --learning_rate 2e-5 --centroid_learning_rate 5e-4 \
     --mse_loss_weight 1e-4 --temperature 1 \
     --sk_epsilon 0.003 --sk_iters 100 \
-    --cache_chunk_size ${CACHE_CHUNK:-512} \
+    --cache_chunk_size ${CACHE_CHUNK:-128} \
     --max_steps ${CONC_STEPS:-2000} \
     --logging_steps 20 --eval_steps ${EVAL_STEPS:-40} --save_steps ${EVAL_STEPS:-40} \
     --data_parallel

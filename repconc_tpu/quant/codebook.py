@@ -44,6 +44,25 @@ def pairwise_sqdist(embeds: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return dist
 
 
+def _auto_m_chunk(B: int, M: int, K: int) -> int:
+    """Largest divisor of M keeping one (mc, B, K) fp32 buffer <= ~256 MB.
+
+    Sinkhorn holds a handful of (mc, B, K) temporaries live per iteration;
+    at the reference's production step (B≈49k docs, M=48, K=256) the
+    unchunked (M, B, K) tensor alone is 2.4 GB — several live copies of it
+    overflow a 16 GB chip. Subspace OT problems are independent, so chunking
+    M changes nothing numerically.
+    """
+    budget = 256 * 1024 * 1024 // 4  # fp32 elements
+    mc = M
+    while mc > 1 and mc * B * K > budget:
+        next_mc = mc - 1
+        while next_mc > 1 and M % next_mc != 0:
+            next_mc -= 1
+        mc = next_mc
+    return mc
+
+
 def encode(
     embeds: jnp.ndarray,
     centroids: jnp.ndarray,
@@ -51,26 +70,51 @@ def encode(
     sk_epsilon: float = 0.003,
     sk_iters: int = 100,
     axis_name: Optional[str] = None,
+    m_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Assign codes: nearest centroid, or Sinkhorn-constrained assignment.
 
     Returns (B, M) int32. Reference: RepCONC.quantize
     (modeling_repconc.py:47-67). No gradients flow (assignment is discrete).
+
+    m_chunk: process subspaces in chunks of this size under `lax.map`
+    (None = auto). Subspace assignment problems are independent, so the
+    result is identical; chunking bounds peak memory at production batch
+    sizes (49k docs/step) where the full (M, B, K) cost tensor plus Sinkhorn
+    temporaries would overflow HBM.
     """
     embeds = jax.lax.stop_gradient(embeds)
     centroids = jax.lax.stop_gradient(centroids)
+    M, K = centroids.shape[0], centroids.shape[1]
+    B = embeds.shape[0]
+    mc = _auto_m_chunk(B, M, K) if m_chunk is None else min(m_chunk, M)
+    if mc < M:
+        assert M % mc == 0, (M, mc)
+        x = subvector_view(embeds, M).transpose(1, 0, 2)  # (M, B, dsub)
+        xs = x.reshape(M // mc, mc, B, -1)
+        cs = centroids.reshape(M // mc, mc, K, -1)
+
+        def one(args):
+            xm, cm = args  # (mc, B, dsub), (mc, K, dsub)
+            x_sq = jnp.sum(xm * xm, axis=-1)  # (mc, B)
+            c_sq = jnp.sum(cm * cm, axis=-1)  # (mc, K)
+            xc = jnp.einsum("mbd,mkd->mbk", xm, cm,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            d = x_sq[:, :, None] + c_sq[:, None, :] - 2.0 * xc  # (mc, B, K)
+            if not use_constraint:
+                return jnp.argmin(d, axis=-1).T.astype(jnp.int32)
+            return sinkhorn_assign(d, sk_epsilon, sk_iters, axis_name)
+
+        codes = jax.lax.map(one, (xs, cs))  # (M/mc, B, mc)
+        return codes.transpose(1, 0, 2).reshape(B, M)
     distances = pairwise_sqdist(embeds, centroids)  # (M, B, K)
     if not use_constraint:
         return jnp.argmin(distances, axis=-1).T.astype(jnp.int32)
     return sinkhorn_assign(distances, sk_epsilon, sk_iters, axis_name)
 
 
-def decode(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
-    """Reconstruct embeddings from codes; differentiable w.r.t. centroids.
-
-    codes: (B, M) int; centroids: (M, K, dsub). Returns (B, D).
-    Reference: modeling_repconc.py:168-184.
-    """
+def _decode_block(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     K = centroids.shape[1]
     onehot = jax.nn.one_hot(codes, K, dtype=centroids.dtype)  # (B, M, K)
     # HIGHEST so the 0/1 matmul reproduces centroid values bit-exactly
@@ -80,6 +124,40 @@ def decode(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
                      precision=jax.lax.Precision.HIGHEST)
     B = codes.shape[0]
     return sub.reshape(B, -1).astype(centroids.dtype)
+
+
+def _auto_b_chunk(B: int, M: int, K: int) -> int:
+    """Largest divisor of B keeping the (bc, M, K) one-hot <= ~256 MB fp32."""
+    budget = 256 * 1024 * 1024 // 4
+    bc = B
+    while bc > 1 and bc * M * K > budget:
+        next_bc = bc - 1
+        while next_bc > 1 and B % next_bc != 0:
+            next_bc -= 1
+        bc = next_bc
+    return bc
+
+
+def decode(codes: jnp.ndarray, centroids: jnp.ndarray,
+           b_chunk: Optional[int] = None) -> jnp.ndarray:
+    """Reconstruct embeddings from codes; differentiable w.r.t. centroids.
+
+    codes: (B, M) int; centroids: (M, K, dsub). Returns (B, D).
+    Reference: modeling_repconc.py:168-184.
+
+    Large batches are decoded in checkpointed chunks under `lax.map`
+    (b_chunk=None -> auto): the (B, M, K) one-hot is 2.4 GB fp32 at the
+    production 49k-doc step, and without rematerialization the scan would
+    keep every chunk's one-hot alive for the backward pass.
+    """
+    B, M, K = codes.shape[0], centroids.shape[0], centroids.shape[1]
+    bc = _auto_b_chunk(B, M, K) if b_chunk is None else min(b_chunk, B)
+    if bc < B and B % bc == 0:
+        codes_c = codes.reshape(B // bc, bc, M)
+        dec = jax.checkpoint(lambda c: _decode_block(c, centroids))
+        out = jax.lax.map(dec, codes_c)
+        return out.reshape(B, -1)
+    return _decode_block(codes, centroids)
 
 
 def decode_gather(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:

@@ -93,23 +93,12 @@ def duplicate_negative_mask(qids: jnp.ndarray, doc_ids: jnp.ndarray) -> jnp.ndar
     return mask & ~diag
 
 
-def contrastive_loss(
-    query_embeds: jnp.ndarray,
-    doc_embeds: jnp.ndarray,
-    negative_mask: jnp.ndarray,
-    mcq_m: int,
-    metric_centroid_cos: bool = False,
-    temperature: float = 1.0,
-    dynamic_topk_hard_negative: Optional[int] = None,
-) -> jnp.ndarray:
-    """Cross-entropy over the global batch with diagonal labels.
+def _row_ce(query_embeds, doc_embeds, negative_mask, labels, mcq_m,
+            metric_centroid_cos, temperature, dynamic_topk_hard_negative):
+    """Per-query cross-entropy terms (logZ - pos) for a block of query rows.
 
-    query_embeds: (B, D); doc_embeds: (Bd, D) where Bd >= B and the first B
-    docs are the diagonal positives. negative_mask: (B, Bd) bool, True where
-    the similarity must be suppressed (false negatives / duplicates).
-    Reference: compute_contrastive_loss (finetune_repconc.py:398-431).
-    """
-    B, Bd = query_embeds.shape[0], doc_embeds.shape[0]
+    labels: (Bq,) GLOBAL column index of each row's positive."""
+    Bd = doc_embeds.shape[0]
     sims = jnp.einsum("qd,nd->qn", query_embeds, doc_embeds,
                       preferred_element_type=jnp.float32)
     if metric_centroid_cos:
@@ -118,7 +107,6 @@ def contrastive_loss(
         sims = sims / temperature
     sims = sims - NEG_INF_MASK * negative_mask.astype(sims.dtype)
 
-    labels = jnp.arange(B)
     if dynamic_topk_hard_negative is not None and dynamic_topk_hard_negative > 0:
         # keep only [positive + top-k hardest negatives] per query
         neg_sims = jax.lax.stop_gradient(sims)
@@ -130,7 +118,57 @@ def contrastive_loss(
 
     logz = jax.scipy.special.logsumexp(sims, axis=-1)
     pos = jnp.take_along_axis(sims, labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(logz - pos)
+    return logz - pos
+
+
+def _auto_q_chunk(B: int, Bd: int) -> int:
+    """Largest divisor of B keeping one (qc, Bd) fp32 block <= ~128 MB."""
+    budget = 128 * 1024 * 1024 // 4
+    qc = B
+    while qc > 1 and qc * Bd > budget:
+        next_qc = qc - 1
+        while next_qc > 1 and B % next_qc != 0:
+            next_qc -= 1
+        qc = next_qc
+    return qc
+
+
+def contrastive_loss(
+    query_embeds: jnp.ndarray,
+    doc_embeds: jnp.ndarray,
+    negative_mask: jnp.ndarray,
+    mcq_m: int,
+    metric_centroid_cos: bool = False,
+    temperature: float = 1.0,
+    dynamic_topk_hard_negative: Optional[int] = None,
+    q_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Cross-entropy over the global batch with diagonal labels.
+
+    query_embeds: (B, D); doc_embeds: (Bd, D) where Bd >= B and the first B
+    docs are the diagonal positives. negative_mask: (B, Bd) bool, True where
+    the similarity must be suppressed (false negatives / duplicates).
+    Reference: compute_contrastive_loss (finetune_repconc.py:398-431).
+
+    Query rows are processed in checkpointed chunks under `lax.map`
+    (q_chunk=None -> auto): each row's CE term needs only its own (1, Bd)
+    score row, so chunking is exact while bounding the live (B, Bd) score
+    buffers — ~3 GB at the production 4096x49k step — to ~128 MB.
+    """
+    B, Bd = query_embeds.shape[0], doc_embeds.shape[0]
+    qc = _auto_q_chunk(B, Bd) if q_chunk is None else min(q_chunk, B)
+    args = (mcq_m, metric_centroid_cos, temperature,
+            dynamic_topk_hard_negative)
+    if qc < B and B % qc == 0:
+        q_c = query_embeds.reshape(B // qc, qc, -1)
+        mask_c = negative_mask.reshape(B // qc, qc, Bd)
+        labels_c = jnp.arange(B).reshape(B // qc, qc)
+        row = jax.checkpoint(
+            lambda t: jnp.sum(_row_ce(t[0], doc_embeds, t[1], t[2], *args)))
+        sums = jax.lax.map(row, (q_c, mask_c, labels_c))
+        return jnp.sum(sums) / B
+    return jnp.mean(_row_ce(query_embeds, doc_embeds, negative_mask,
+                            jnp.arange(B), *args))
 
 
 def mse_loss(quantized: jnp.ndarray, continuous: jnp.ndarray) -> jnp.ndarray:

@@ -194,3 +194,64 @@ def test_mse_loss(rng):
     a = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
     b = a + 1.0
     assert abs(float(mse_loss(a, b)) - 8.0) < 1e-4
+
+
+def test_encode_m_chunked_matches_unchunked(rng):
+    """Subspace-chunked encode (the production-scale memory path) is exact:
+    per-subspace OT problems are independent, so chunking M cannot change
+    assignments — for both the argmin and the Sinkhorn-constrained path."""
+    x, c = setup_data(rng, B=64, M=8, K=16, dsub=4)
+    for use_constraint in (False, True):
+        full = np.asarray(encode(x, c, use_constraint=use_constraint,
+                                 sk_epsilon=0.05, sk_iters=25, m_chunk=8))
+        for mc in (1, 2, 4):
+            chunked = np.asarray(encode(x, c, use_constraint=use_constraint,
+                                        sk_epsilon=0.05, sk_iters=25,
+                                        m_chunk=mc))
+            np.testing.assert_array_equal(full, chunked)
+
+
+def test_encode_auto_m_chunk_threshold():
+    """Auto chunking only engages above the memory budget."""
+    from repconc_tpu.quant.codebook import _auto_m_chunk
+    assert _auto_m_chunk(B=4096, M=48, K=256) == 48      # small batch: off
+    mc = _auto_m_chunk(B=49152, M=48, K=256)             # reference scale
+    assert mc < 48 and 48 % mc == 0
+    assert mc * 49152 * 256 <= 256 * 1024 * 1024 // 4
+
+
+def test_decode_b_chunked_matches_unchunked(rng):
+    """Checkpointed chunked decode: same values, same centroid gradients."""
+    x, c = setup_data(rng, B=64, M=4, K=16, dsub=8)
+    codes = encode(x, c)
+
+    full = np.asarray(decode(codes, c, b_chunk=64))
+    chunked = np.asarray(decode(codes, c, b_chunk=16))
+    np.testing.assert_array_equal(full, chunked)
+
+    g_full = jax.grad(lambda cc: jnp.sum(decode(codes, cc, b_chunk=64) ** 2))(c)
+    g_chunk = jax.grad(lambda cc: jnp.sum(decode(codes, cc, b_chunk=16) ** 2))(c)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_chunk),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_contrastive_q_chunked_matches_unchunked(rng):
+    """Checkpointed query-chunked contrastive loss: same loss, same grads
+    (incl. the dynamic-top-k path, which is per-row and thus chunk-exact)."""
+    B, Bd, D = 16, 48, 32
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(Bd, D)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, Bd)) < 0.1)
+
+    for topk in (None, 8):
+        def loss(qq, dd, qc):
+            return contrastive_loss(qq, dd, mask, 4, temperature=0.5,
+                                    dynamic_topk_hard_negative=topk,
+                                    q_chunk=qc)
+        full, (gq, gd) = jax.value_and_grad(loss, argnums=(0, 1))(q, d, 16)
+        chunked, (gq2, gd2) = jax.value_and_grad(loss, argnums=(0, 1))(q, d, 4)
+        np.testing.assert_allclose(float(full), float(chunked), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(gq2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gd2),
+                                   rtol=1e-5, atol=1e-6)
