@@ -104,6 +104,11 @@ def batch_flat_search(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Query-batched flat search returning docid strings
     (reference: evaluate_dense.py:92-110)."""
+    # Pin the corpus on device once when it fits (<= ~6 GB): re-streaming it
+    # per query batch costs minutes through this environment's ~10 MB/s
+    # host<->device tunnel. Larger corpora keep the streaming path.
+    if corpus_embeds.shape[0] * corpus_embeds.shape[1] * 4 <= 6 << 30:
+        corpus_embeds = jnp.asarray(corpus_embeds, dtype=jnp.float32)
     all_scores, all_ids = [], []
     iterations = math.ceil(len(query_ids) / batch_size)
     for q_chunk in np.array_split(query_embeds, iterations):
