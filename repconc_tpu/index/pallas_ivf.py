@@ -10,9 +10,17 @@ on the MXU. The expensive part of PQ scanning — the one-hot/codes decode —
 is thus shared across every query probing that cell.
 
 Post-processing (pure XLA): every pair's score row is gathered back per
-query (pairs were sorted stably, so each query's nprobe rows are recovered
-by a second argsort), padding is masked, spill-segment brute-force results
-are merged, and approx_max_k produces the final top-k.
+query (pairs are built q-major, so the INVERSE of the cell-sort permutation
+— a cheap int32 scatter — regroups them), padding is masked, spill-segment
+brute-force results are merged, and approx_max_k produces the final top-k.
+
+A negative result worth keeping (round 2, measured on v5e): ~35% of the
+static work-tile grid is padding at serving shapes (T_max assumes every
+probed cell ends in a partial tile), but skipping those tiles in-kernel via
+an SMEM occupied-count + pl.when REGRESSED throughput 5-8% — Mosaic's block
+pipeline fetches every grid step's blocks regardless, so predication saves
+only VPU work while disrupting double-buffering. The kernel is
+pipeline/DMA-bound, not one-hot-compute-bound, at these shapes.
 """
 from __future__ import annotations
 
@@ -174,10 +182,12 @@ def _ivf_search_device(
     scores_flat = scores.reshape(T_max * QT_G, Lpad)
 
     # ---- regroup per query ----------------------------------------------
-    # stable argsort of sq groups each query's nprobe pairs contiguously
-    by_q = jnp.argsort(sq, stable=True)
-    rows_per_query = jnp.take(row, by_q).reshape(Q, nprobe)
-    cells_per_query = jnp.take(sc, by_q).reshape(Q, nprobe)
+    # pairs were built q-major, so the INVERSE of the cell-sort permutation
+    # regroups them — a small int32 scatter, not a second 77k-element sort
+    inv = jnp.zeros((P,), jnp.int32).at[order].set(
+        jnp.arange(P, dtype=jnp.int32))
+    rows_per_query = jnp.take(row, inv).reshape(Q, nprobe)
+    cells_per_query = jnp.take(sc, inv).reshape(Q, nprobe)
 
     cand_scores = jnp.take(scores_flat, rows_per_query.reshape(-1), axis=0)
     cand_scores = cand_scores.reshape(Q, nprobe * Lpad)
@@ -303,10 +313,13 @@ class ShardedPallasIVFIndex:
             scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_l, K)
             scores_flat = scores.reshape(T_cap * QT_G, Lpad)
 
-            by_q = jnp.argsort(sq, stable=True)
-            rows_pq = jnp.take(row, by_q).reshape(Q, nprobe)
-            cells_pq = jnp.take(sk, by_q).reshape(Q, nprobe)
-            valid_pq = jnp.take(valid, by_q).reshape(Q, nprobe)
+            # inverse of the ownership-sort permutation regroups pairs
+            # q-major (pairs were built q-major) — scatter, not a 2nd sort
+            inv = jnp.zeros((P_pairs,), jnp.int32).at[order].set(
+                jnp.arange(P_pairs, dtype=jnp.int32))
+            rows_pq = jnp.take(row, inv).reshape(Q, nprobe)
+            cells_pq = jnp.take(sk, inv).reshape(Q, nprobe)
+            valid_pq = jnp.take(valid, inv).reshape(Q, nprobe)
 
             cand_s = jnp.take(scores_flat,
                               jnp.clip(rows_pq, 0, T_cap * QT_G - 1).reshape(-1),
