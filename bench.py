@@ -50,16 +50,19 @@ def main():
     # completion barrier = ONE fused scalar readback (block_until_ready does
     # not block through the axon tunnel, and each host<->device readback
     # costs a ~27 ms round trip — two separate readbacks would double-count
-    # tunnel latency into the measurement)
+    # tunnel latency into the measurement). The work-tile overflow flag is
+    # fused into the same readback: a huge sentinel would make the sanity
+    # check below fail if the capacity-budgeted grid ever dropped a pair.
     @jax.jit
     def searched_sum(q):
-        s, i = pidx.search_device(q, topk=TOPK, nprobe=NPROBE)
-        return jnp.sum(s) + i[0, 0].astype(jnp.float32)
+        s, i, overflow = pidx.search_device(q, topk=TOPK, nprobe=NPROBE)
+        return (jnp.sum(s) + i[0, 0].astype(jnp.float32)
+                + overflow.astype(jnp.float32) * 1e30)
 
     def run():
         return float(searched_sum(queries))
 
-    run()  # compile
+    assert abs(run()) < 1e29, "tile-capacity overflow; results not exact"
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

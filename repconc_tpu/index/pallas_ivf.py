@@ -132,6 +132,32 @@ def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int):
     return out.reshape(Tpad, QT_G, Lpad)[:T]
 
 
+def _tile_budget(Q: int, nprobe: int, nlist: int,
+                 capacity_factor: float) -> int:
+    """Static work-tile budget: expected occupied tiles under a uniform
+    multinomial probe mix (Poisson approximation), padded by
+    capacity_factor, clamped to the adversarial worst case.
+
+    The worst case (every probed cell ends in a partial tile) is ~55% loose
+    at serving shapes: at Q=1200 nprobe=64 nlist=4096 it allows 6,497 tiles
+    while measured loads occupy ~4,100-4,800 — and the tile count drives
+    BOTH the LUT-row gather bytes and the kernel grid. The probe rule's
+    centroid-norm penalty (probe_cells: q.c - ||c||^2/2) spreads loads
+    ~15% wider than the uniform-multinomial estimate (measured on random
+    data), hence the 1.35 default factor; any residual adversarial spread
+    is caught dynamically (occupied count returned by the search) and
+    retried at the worst-case shape."""
+    P = Q * nprobe
+    t_worst = P // QT_G + nlist + 1
+    lam = P / nlist
+    jmax = int(lam + 10.0 * lam ** 0.5 + 10)
+    j = np.arange(1, jmax + 1, dtype=np.float64)
+    log_pmf = -lam + j * np.log(lam) - np.cumsum(np.log(j))
+    e_ceil = float(np.sum(np.exp(log_pmf) * np.ceil(j / QT_G)))
+    t_est = nlist * e_ceil
+    return min(t_worst, int(capacity_factor * t_est) + 8)
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "topk", "K", "T_max"))
 def _ivf_search_device(
     query_embeds,       # (Q, D) f32
@@ -163,6 +189,11 @@ def _ivf_search_device(
     rank = jnp.arange(P, dtype=jnp.int32) - first_pos.astype(jnp.int32)
     is_tile_start = (rank % QT_G) == 0
     work_id = jnp.cumsum(is_tile_start.astype(jnp.int32)) - 1  # (P,)
+    n_tiles = jnp.sum(is_tile_start.astype(jnp.int32))
+    # pairs in tiles past T_max (possible when T_max is a capacity budget,
+    # not the worst case): their scatters drop (OOB), their candidate rows
+    # are masked below, and the overflow count tells the caller to retry
+    overflow = jnp.maximum(n_tiles - T_max, 0)
     slot = rank % QT_G
     row = work_id * QT_G + slot                                 # pair -> slot row
 
@@ -189,7 +220,12 @@ def _ivf_search_device(
     rows_per_query = jnp.take(row, inv).reshape(Q, nprobe)
     cells_per_query = jnp.take(sc, inv).reshape(Q, nprobe)
 
-    cand_scores = jnp.take(scores_flat, rows_per_query.reshape(-1), axis=0)
+    row_ok = rows_per_query < T_max * QT_G                      # (Q, nprobe)
+    cand_scores = jnp.take(
+        scores_flat,
+        jnp.clip(rows_per_query, 0, T_max * QT_G - 1).reshape(-1), axis=0)
+    cand_scores = cand_scores.reshape(Q, nprobe, Lpad)
+    cand_scores = jnp.where(row_ok[:, :, None], cand_scores, -jnp.inf)
     cand_scores = cand_scores.reshape(Q, nprobe * Lpad)
     cand_ids = jnp.take(cell_ids, cells_per_query.reshape(-1), axis=0)
     cand_ids = cand_ids.reshape(Q, nprobe * Lpad)
@@ -198,7 +234,7 @@ def _ivf_search_device(
     k = min(topk, cand_scores.shape[1])
     s, pos = jax.lax.approx_max_k(cand_scores, k, recall_target=1.0)
     ids = jnp.take_along_axis(cand_ids, pos, axis=1)
-    return s, ids
+    return s, ids, overflow
 
 
 class ShardedPallasIVFIndex:
@@ -390,18 +426,33 @@ class PallasIVFIndex:
         if getattr(self, "spill", None) is not None:
             self.spill.set_centroids(centroids)
 
-    def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64):
+    def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64,
+                      capacity_factor: float | None = 1.35):
+        """Returns (scores, ids, overflow). With the default capacity_factor
+        the work-tile grid is sized to the EXPECTED occupancy (+15%) instead
+        of the ~55%-loose adversarial worst case — both the LUT-row gather
+        and the kernel grid scale with it. overflow (device int32 scalar) is
+        0 whenever the results are exact; a positive value means the probe
+        mix was adversarially spread and the caller should re-search with
+        capacity_factor=None (the worst-case shape). search() does this
+        automatically; device-to-device callers fuse the overflow check into
+        their own readback."""
         q = jnp.asarray(query_embeds, dtype=jnp.float32)
         Q = q.shape[0]
         nprobe = min(nprobe, self.nlist)
-        T_max = (Q * nprobe) // QT_G + self.nlist + 1
-        s, i = _ivf_search_device(
+        T_worst = (Q * nprobe) // QT_G + self.nlist + 1
+        T_max = (_tile_budget(Q, nprobe, self.nlist, capacity_factor)
+                 if capacity_factor is not None else T_worst)
+        s, i, overflow = _ivf_search_device(
             q, self.centroids, self.coarse, self.cell_codes, self.cell_ids,
             nprobe, topk, self.K, T_max)
-        return s, i
+        return s, i, overflow
 
     def search(self, query_embeds, topk: int = 1000, nprobe: int = 64):
-        s, i = self.search_device(query_embeds, topk, nprobe)
+        s, i, overflow = self.search_device(query_embeds, topk, nprobe)
+        if int(overflow) > 0:
+            s, i, _ = self.search_device(query_embeds, topk, nprobe,
+                                         capacity_factor=None)
         s, i = np.asarray(s), np.asarray(i)
         if self.spill is not None:
             s_sp, i_sp = self.spill.search(query_embeds,

@@ -153,3 +153,46 @@ def test_topk_wide_matches_direct(rng):
         same = np.asarray(s1) == np.asarray(s2)
         np.testing.assert_array_equal(np.asarray(i1)[same & (s1 == s1)],
                                       np.asarray(i2)[same & (s1 == s1)])
+
+
+def test_ivf_tile_budget_and_overflow(rng):
+    """The capacity-budgeted work-tile grid returns exact results when it
+    fits (overflow=0, identical to the worst-case shape), reports overflow
+    when forced too small, and search() transparently retries."""
+    from repconc_tpu.index.ivf import build_ivf
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex, _tile_budget
+
+    N, D, M, K = 3000, 32, 4, 256
+    embeds = rng.normal(size=(N, D)).astype(np.float32)
+    centroids = rng.normal(size=(M, K, D // M)).astype(np.float32)
+    codes = rng.integers(0, K, size=(N, M)).astype(np.uint8)
+    index = build_ivf(embeds, codes, centroids, nlist=16, kmeans_iters=3)
+    pidx = PallasIVFIndex(index)
+    queries = rng.normal(size=(8, D)).astype(np.float32)
+
+    s_b, i_b, ov = pidx.search_device(queries, topk=10, nprobe=4)
+    assert int(ov) == 0
+    s_w, i_w, ov_w = pidx.search_device(queries, topk=10, nprobe=4,
+                                        capacity_factor=None)
+    assert int(ov_w) == 0
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_w))
+    np.testing.assert_allclose(np.asarray(s_b), np.asarray(s_w))
+
+    # a forced-tiny budget must REPORT the dropped tiles (never silently
+    # mis-rank): queries spread over all 16 cells need ~16 tiles, budget
+    # allows at most _tile_budget(...) < that
+    from repconc_tpu.index.ivf import probe_cells
+
+    q_many = rng.normal(size=(64, D)).astype(np.float32)
+    n_distinct = len(np.unique(np.asarray(
+        probe_cells(jnp.asarray(q_many), jnp.asarray(index.coarse_centroids),
+                    4))))
+    tiny_budget = _tile_budget(64, 4, 16, 0.01)
+    assert n_distinct > tiny_budget  # the setup genuinely overflows
+    _, _, ov_t = pidx.search_device(q_many, topk=10, nprobe=4,
+                                    capacity_factor=0.01)
+    assert int(ov_t) > 0
+
+    # search() transparently retries at the worst-case shape
+    s_r, i_r = pidx.search(queries, topk=10, nprobe=4)
+    np.testing.assert_array_equal(i_r, np.asarray(i_w))
