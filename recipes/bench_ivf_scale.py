@@ -1,0 +1,84 @@
+"""MS MARCO-scale IVF serving bench: 8.8M docs on one chip.
+
+Rebuilds the RESULTS.md "8.8M docs" row (reference scale: MS MARCO passage
+is 8.84M docs, evaluate_repconc.py serves it on 8 V100s; here ONE v5e chip
+holds the whole 0.49 GB uint8 code store in HBM). Index layout is synthetic
+and generated ON DEVICE (the host tunnel moves ~10 MB/s); throughput
+depends on layout shape, not code values.
+
+Usage: python recipes/bench_ivf_scale.py [--nprobes 16,64,128]
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nprobes", default="16,64,128")
+    ap.add_argument("--nlist", type=int, default=5000)
+    ap.add_argument("--lpad", type=int, default=2048)
+    ap.add_argument("--n_queries", type=int, default=1200)
+    ap.add_argument("--topk", type=int, default=1000)
+    args = ap.parse_args()
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from repconc_tpu.index.pallas_ivf import (QT_G, _ivf_search_device,
+                                              _tile_budget)
+
+    D, M, K = 768, 48, 256
+    nlist, lpad = args.nlist, args.lpad
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    # NOTE: the index arrays are passed as jit ARGUMENTS, never captured in
+    # a closure — a closure-captured device array is embedded in the
+    # compile payload, and through this environment's remote-compile tunnel
+    # a 0.46 GiB constant means a ~45 min upload ending in HTTP 413.
+    cell_codes = jax.random.randint(
+        k1, (nlist, lpad, M), 0, K, dtype=jnp.uint8)
+    cell_ids = jnp.arange(nlist * lpad, dtype=jnp.int32).reshape(nlist, lpad)
+    coarse = jax.random.normal(k2, (nlist, D), dtype=jnp.float32)
+    centroids = jax.random.normal(k3, (M, K, D // M), dtype=jnp.float32)
+    queries = jax.random.normal(k4, (args.n_queries, D), dtype=jnp.float32)
+    n_docs = nlist * lpad
+    print(f"index: {n_docs/1e6:.1f}M padded slots, "
+          f"{n_docs*M/2**30:.2f} GiB uint8 codes")
+
+    for nprobe in [int(x) for x in args.nprobes.split(",")]:
+        T_worst = (args.n_queries * nprobe) // QT_G + nlist + 1
+        T_max = min(T_worst, _tile_budget(args.n_queries, nprobe, nlist, 1.35))
+
+        @functools.partial(jax.jit, static_argnames=("nprobe", "T_max"))
+        def fused(q, centroids, coarse, cell_codes, cell_ids,
+                  nprobe, T_max):
+            s, i, ov = _ivf_search_device(
+                q, centroids, coarse, cell_codes, cell_ids,
+                nprobe, args.topk, K, T_max)
+            return (jnp.sum(s) + i[0, 0].astype(jnp.float32)
+                    + ov.astype(jnp.float32) * 1e30)
+
+        def run():
+            return float(fused(queries, centroids, coarse, cell_codes,
+                               cell_ids, nprobe=nprobe, T_max=T_max))
+
+        v = run()  # compile
+        assert abs(v) < 1e29, "tile-capacity overflow"
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        qps = args.n_queries / min(ts)
+        print(f"nprobe={nprobe:4d}: {qps:8.0f} QPS/chip "
+              f"({min(ts)*1e3:.1f} ms/batch incl tunnel)")
+
+
+if __name__ == "__main__":
+    main()

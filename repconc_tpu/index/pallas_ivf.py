@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from repconc_tpu.index.adc import build_lut
 from repconc_tpu.index.ivf import IVFIndex, probe_cells
-from repconc_tpu.index.pallas_adc import _group_size, _interpret, permute_lut
+from repconc_tpu.index.pallas_adc import (_group_size, _interpret,
+                                          permute_lut, quantize_lut_int8)
 
 QT_G = 32  # query slots per work tile (MXU row occupancy vs pair padding)
 
@@ -49,6 +50,23 @@ L_SUB = 512  # list sub-tile: bounds the VMEM one-hot regardless of Lpad
 
 R_TILES = 2  # work tiles per grid step (fewer, fatter steps amortize per-step
 #              overhead; bounded by VMEM: onehot scratch + R*QT_G LUT rows)
+
+
+def _tile_geometry(Lpad: int) -> tuple[int, int]:
+    """(tiles per grid step, one-hot scratch rows). For long posting lists
+    (Lpad > L_SUB, e.g. the 8.8M-doc nlist=5000 Lpad=2048 layout) the
+    scratch shrinks to 256 rows: at M*K=12288 lanes a 512-row bf16 scratch
+    is 12.6 MB, and with the one-hot build's (sub, gm*K) iota/compare temps
+    plus double-buffered LUT/codes/out blocks the scoped-VMEM budget
+    (~16 MB) overflows — measured, not theoretical: (r=1, sub=512) is
+    rejected by Mosaic at 16.7 MB. sub must DIVIDE Lpad: Mosaic's compiler
+    crashes (Check failed: limits[i] <= dim(i), measured on v5e) on the
+    short final sub-slice a remainder would need, so for long lists sub is
+    the largest of 256/128 dividing Lpad (build_ivf pads to a multiple of
+    128, so 128 always divides)."""
+    if Lpad <= L_SUB:
+        return R_TILES, min(L_SUB, Lpad)
+    return R_TILES, 256 if Lpad % 256 == 0 else 128
 
 
 def _ivf_kernel(gm: int, K: int, lut_ref, codes_ref, out_ref, onehot_ref):
@@ -61,32 +79,76 @@ def _ivf_kernel(gm: int, K: int, lut_ref, codes_ref, out_ref, onehot_ref):
     R, Lpad, M = codes_ref.shape
     G = M // gm
     lanes = gm * K
-    sub = min(L_SUB, Lpad)
+    sub = _tile_geometry(Lpad)[1]
 
     k_of_lane = jax.lax.broadcasted_iota(
         jnp.int32, (sub, lanes), dimension=1) // gm
     for r in range(R):
         for s0 in range(0, Lpad, sub):
-            codes = codes_ref[r, s0:s0 + sub, :].astype(jnp.int32)  # (sub, M)
+            sl = min(sub, Lpad - s0)  # short final slice when sub !| Lpad
+            codes = codes_ref[r, s0:s0 + sl, :].astype(jnp.int32)  # (sl, M)
             for g in range(G):
                 cols = codes[:, g * gm:(g + 1) * gm]
-                expanded = pltpu.repeat(cols, K, axis=1)      # (sub, gm*K)
-                onehot_ref[:, g * lanes:(g + 1) * lanes] = (
-                    expanded == k_of_lane).astype(jnp.bfloat16)
-            out_ref[r, :, s0:s0 + sub] = jax.lax.dot_general(
-                lut_ref[r * QT_G:(r + 1) * QT_G, :], onehot_ref[:sub],
+                expanded = pltpu.repeat(cols, K, axis=1)      # (sl, gm*K)
+                onehot_ref[:sl, g * lanes:(g + 1) * lanes] = (
+                    expanded == k_of_lane[:sl]).astype(jnp.bfloat16)
+            out_ref[r, :, s0:s0 + sl] = jax.lax.dot_general(
+                lut_ref[r * QT_G:(r + 1) * QT_G, :], onehot_ref[:sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+
+def _ivf_kernel_i8(gm: int, K: int, lut_ref, scale_ref, codes_ref, out_ref,
+                   onehot_ref):
+    """int8-LUT variant of _ivf_kernel: lut_ref (R*QT_G, M*K) int8 quantized
+    per (query, group) with scale_ref (R*QT_G, G) f32 (quantize_lut_int8);
+    onehot scratch is int8 so every contraction runs the MXU s8xs8->s32
+    path; per-group partial sums are rescaled by the group's dequantization
+    factor. Halves the LUT-row gather/DMA bytes — the dominant serving
+    traffic — for <=scale/2 per-term score error (~1% top-100 churn,
+    tests/test_pallas_adc.py). The reference's deployed faiss index uses
+    fp16 LUTs above M=56 (evaluate_repconc.py:126); this is the TPU analog
+    one step further."""
+    R, Lpad, M = codes_ref.shape
+    G = M // gm
+    lanes = gm * K
+    sub = _tile_geometry(Lpad)[1]
+
+    k_of_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (sub, lanes), dimension=1) // gm
+    for r in range(R):
+        lut_r = lut_ref[r * QT_G:(r + 1) * QT_G, :]
+        scale_r = scale_ref[r * QT_G:(r + 1) * QT_G, :]
+        for s0 in range(0, Lpad, sub):
+            sl = min(sub, Lpad - s0)  # short final slice when sub !| Lpad
+            codes = codes_ref[r, s0:s0 + sl, :].astype(jnp.int32)
+            for g in range(G):
+                cols = codes[:, g * gm:(g + 1) * gm]
+                expanded = pltpu.repeat(cols, K, axis=1)      # (sl, gm*K)
+                onehot_ref[:sl, g * lanes:(g + 1) * lanes] = (
+                    expanded == k_of_lane[:sl]).astype(jnp.int8)
+            acc = jnp.zeros((QT_G, sl), dtype=jnp.float32)
+            for g in range(G):
+                part = jax.lax.dot_general(
+                    lut_r[:, g * lanes:(g + 1) * lanes],
+                    onehot_ref[:sl, g * lanes:(g + 1) * lanes],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = acc + part.astype(jnp.float32) * scale_r[:, g:g + 1]
+            out_ref[r, :, s0:s0 + sl] = acc
 
 
 TILE_CHUNK = 512  # work tiles per lax.map step (bounds the LUT-row gather)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int):
+def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int,
+                      scales_z=None):
     """work_cell: (T,) int32; qidx: (T, QT_G) int32 slot->query map (row Q of
-    lut_z is a zero row for empty slots); lut_z: (Q+1, MK) bf16;
+    lut_z is a zero row for empty slots); lut_z: (Q+1, MK) bf16 — or int8
+    with scales_z (Q+1, G) f32 for the quantized-LUT path;
     cell_codes_u8: (nlist, Lpad, M) uint8. Returns (T, QT_G, Lpad) f32.
 
     The tiles' cell code blocks are pre-gathered tile-major (a cheap row
@@ -101,28 +163,43 @@ def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int):
     MK = lut_z.shape[1]
     nlist, Lpad, M = cell_codes_u8.shape
     gm = _group_size(M, K)
-    kernel = functools.partial(_ivf_kernel, gm, K)
+    int8_path = scales_z is not None
 
-    tc = min(TILE_CHUNK, ((T + R_TILES - 1) // R_TILES) * R_TILES)
+    r_tiles, sub = _tile_geometry(Lpad)
+    tc = min(TILE_CHUNK, ((T + r_tiles - 1) // r_tiles) * r_tiles)
     Tpad = ((T + tc - 1) // tc) * tc
     work_p = jnp.pad(work_cell, (0, Tpad - T))
     qidx_p = jnp.pad(qidx, ((0, Tpad - T), (0, 0)),
                      constant_values=lut_z.shape[0] - 1)
 
+    lut_spec = pl.BlockSpec((r_tiles * QT_G, MK), lambda t: (t, 0))
+    codes_spec = pl.BlockSpec((r_tiles, Lpad, M), lambda t: (t, 0, 0))
+    if int8_path:
+        G = M // gm
+        kernel = functools.partial(_ivf_kernel_i8, gm, K)
+        in_specs = [lut_spec,
+                    pl.BlockSpec((r_tiles * QT_G, G), lambda t: (t, 0)),
+                    codes_spec]
+        scratch_dtype = jnp.int8
+        lut_bytes = 1
+    else:
+        kernel = functools.partial(_ivf_kernel, gm, K)
+        in_specs = [lut_spec, codes_spec]
+        scratch_dtype = jnp.bfloat16
+        lut_bytes = 2
+
     call = pl.pallas_call(
         kernel,
-        grid=(tc // R_TILES,),
-        in_specs=[
-            pl.BlockSpec((R_TILES * QT_G, MK), lambda t: (t, 0)),
-            pl.BlockSpec((R_TILES, Lpad, M), lambda t: (t, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((R_TILES, QT_G, Lpad), lambda t: (t, 0, 0)),
+        grid=(tc // r_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r_tiles, QT_G, Lpad), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((tc, QT_G, Lpad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((min(L_SUB, Lpad), MK), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((sub, MK), scratch_dtype)],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * tc * QT_G * Lpad * MK,
-            bytes_accessed=tc * (QT_G * MK * 2 + Lpad * M + QT_G * Lpad * 4),
+            bytes_accessed=tc * (QT_G * MK * lut_bytes + Lpad * M
+                                 + QT_G * Lpad * 4),
             transcendentals=0,
         ),
     )
@@ -131,6 +208,9 @@ def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int):
         wc, qi = args  # (tc,), (tc, QT_G)
         lut_rows = jnp.take(lut_z, qi.reshape(-1), axis=0)  # (tc*QT_G, MK)
         tile_codes = jnp.take(cell_codes_u8, wc, axis=0)    # (tc, Lpad, M)
+        if int8_path:
+            scale_rows = jnp.take(scales_z, qi.reshape(-1), axis=0)
+            return call(lut_rows, scale_rows, tile_codes)
         return call(lut_rows, tile_codes)
 
     out = jax.lax.map(chunk_fn, (work_p.reshape(-1, tc),
@@ -164,7 +244,8 @@ def _tile_budget(Q: int, nprobe: int, nlist: int,
     return min(t_worst, int(capacity_factor * t_est) + 8)
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "topk", "K", "T_max"))
+@functools.partial(jax.jit, static_argnames=("nprobe", "topk", "K", "T_max",
+                                              "lut_dtype"))
 def _ivf_search_device(
     query_embeds,       # (Q, D) f32
     pq_centroids,       # (M, K, dsub) f32
@@ -175,6 +256,7 @@ def _ivf_search_device(
     topk: int,
     K: int,
     T_max: int,
+    lut_dtype: str = "bf16",
 ):
     Q, D = query_embeds.shape
     nlist, Lpad, M = cell_codes_u8.shape
@@ -216,14 +298,24 @@ def _ivf_search_device(
 
     # ---- tiny slot->query map; LUT rows are DMA'd inside the kernel ----
     lut = permute_lut(build_lut(query_embeds, pq_centroids), gm)  # (Q, MK) f32
-    lut = lut.astype(jnp.bfloat16)
     MK = lut.shape[1]
-    lut_z = jnp.concatenate([lut, jnp.zeros((1, MK), jnp.bfloat16)], axis=0)
+    if lut_dtype == "int8":
+        lut_i8, scales = quantize_lut_int8(lut, gm, K)
+        lut_z = jnp.concatenate(
+            [lut_i8, jnp.zeros((1, MK), jnp.int8)], axis=0)
+        scales_z = jnp.concatenate(
+            [scales, jnp.zeros((1, scales.shape[1]), jnp.float32)], axis=0)
+    else:
+        lut_z = jnp.concatenate(
+            [lut.astype(jnp.bfloat16), jnp.zeros((1, MK), jnp.bfloat16)],
+            axis=0)
+        scales_z = None
     qidx = jnp.full((T_max * QT_G,), Q, dtype=jnp.int32).at[row].set(pair_q)
     qidx = qidx.reshape(T_max, QT_G)
 
     # ---- score all work tiles on the MXU --------------------------------
-    scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K)
+    scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K,
+                               scales_z=scales_z)
     scores_flat = scores.reshape(T_max * QT_G, Lpad)
 
     # ---- regroup per query ----------------------------------------------
@@ -440,16 +532,21 @@ class PallasIVFIndex:
             self.spill.set_centroids(centroids)
 
     def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64,
-                      capacity_factor: float | None = 1.35):
+                      capacity_factor: float | None = 1.35,
+                      lut_dtype: str = "bf16"):
         """Returns (scores, ids, overflow). With the default capacity_factor
-        the work-tile grid is sized to the EXPECTED occupancy (+15%) instead
+        the work-tile grid is sized to the EXPECTED occupancy (+35%) instead
         of the ~55%-loose adversarial worst case — both the LUT-row gather
         and the kernel grid scale with it. overflow (device int32 scalar) is
         0 whenever the results are exact; a positive value means the probe
         mix was adversarially spread and the caller should re-search with
         capacity_factor=None (the worst-case shape). search() does this
         automatically; device-to-device callers fuse the overflow check into
-        their own readback."""
+        their own readback.
+
+        lut_dtype="int8" serves with per-(query, group) quantized LUTs —
+        halves the dominant LUT gather/DMA traffic for ~1% top-100 churn
+        (the TPU analog of faiss's fp16-LUT mode, one step further)."""
         q = jnp.asarray(query_embeds, dtype=jnp.float32)
         Q = q.shape[0]
         nprobe = min(nprobe, self.nlist)
@@ -458,14 +555,17 @@ class PallasIVFIndex:
                  if capacity_factor is not None else T_worst)
         s, i, overflow = _ivf_search_device(
             q, self.centroids, self.coarse, self.cell_codes, self.cell_ids,
-            nprobe, topk, self.K, T_max)
+            nprobe, topk, self.K, T_max, lut_dtype)
         return s, i, overflow
 
-    def search(self, query_embeds, topk: int = 1000, nprobe: int = 64):
-        s, i, overflow = self.search_device(query_embeds, topk, nprobe)
+    def search(self, query_embeds, topk: int = 1000, nprobe: int = 64,
+               lut_dtype: str = "bf16"):
+        s, i, overflow = self.search_device(query_embeds, topk, nprobe,
+                                            lut_dtype=lut_dtype)
         if int(overflow) > 0:
             s, i, _ = self.search_device(query_embeds, topk, nprobe,
-                                         capacity_factor=None)
+                                         capacity_factor=None,
+                                         lut_dtype=lut_dtype)
         s, i = np.asarray(s), np.asarray(i)
         if self.spill is not None:
             s_sp, i_sp = self.spill.search(query_embeds,

@@ -196,3 +196,51 @@ def test_ivf_tile_budget_and_overflow(rng):
     # search() transparently retries at the worst-case shape
     s_r, i_r = pidx.search(queries, topk=10, nprobe=4)
     np.testing.assert_array_equal(i_r, np.asarray(i_w))
+
+
+def test_pallas_ivf_int8_lut(rng):
+    """int8-LUT IVF serving: high top-k agreement with the bf16 path (the
+    quantization carries <= scale/2 per-term error; faiss's deployed config
+    uses fp16 LUTs — evaluate_repconc.py:126)."""
+    from repconc_tpu.index.ivf import build_ivf
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex
+
+    N, D, M, K = 4000, 64, 8, 256
+    embeds = rng.normal(size=(N, D)).astype(np.float32)
+    centroids = rng.normal(size=(M, K, D // M)).astype(np.float32)
+    codes = rng.integers(0, K, size=(N, M)).astype(np.uint8)
+    index = build_ivf(embeds, codes, centroids, nlist=32, kmeans_iters=3)
+    pidx = PallasIVFIndex(index)
+    queries = rng.normal(size=(16, D)).astype(np.float32)
+
+    _, i_bf = pidx.search(queries, topk=20, nprobe=8)
+    _, i_i8 = pidx.search(queries, topk=20, nprobe=8, lut_dtype="int8")
+    overlap = np.mean([len(set(i_i8[q]) & set(i_bf[q])) / 20
+                       for q in range(16)])
+    assert overlap > 0.9, overlap
+
+
+def test_pallas_ivf_awkward_lpad(rng):
+    """build_ivf pads lists to multiples of 128, so Lpad can be e.g. 640 —
+    between L_SUB boundaries and not divisible by the scratch sub-tile.
+    The kernels handle the short final sub-slice."""
+    from repconc_tpu.index.ivf import IVFIndex, search_xla
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex
+
+    D, M, K, nlist, Lpad = 32, 4, 256, 8, 640
+    centroids = rng.normal(size=(M, K, D // M)).astype(np.float32)
+    index = IVFIndex(
+        coarse_centroids=rng.normal(size=(nlist, D)).astype(np.float32),
+        cell_codes=rng.integers(0, K, size=(nlist, Lpad, M), dtype=np.uint8),
+        cell_ids=np.arange(nlist * Lpad, dtype=np.int32).reshape(nlist, Lpad),
+        cell_sizes=np.full(nlist, Lpad, dtype=np.int32),
+        spill_codes=np.zeros((0, M), np.uint8),
+        spill_ids=np.zeros((0,), np.int32),
+        centroids=centroids,
+    )
+    queries = rng.normal(size=(8, D)).astype(np.float32)
+    s_ref, i_ref = search_xla(index, queries, topk=10, nprobe=4)
+    s_pal, i_pal = PallasIVFIndex(index).search(queries, topk=10, nprobe=4)
+    overlap = np.mean([len(set(i_pal[q]) & set(i_ref[q])) / 10
+                       for q in range(8)])
+    assert overlap > 0.9, overlap
