@@ -34,6 +34,9 @@ def main():
     from repconc_tpu.index.ivf import IVFIndex
     from repconc_tpu.index.pallas_ivf import PallasIVFIndex
 
+    from repconc_tpu.index.pallas_ivf import (QT_G, _ivf_search_device,
+                                              _tile_budget)
+
     rng = np.random.default_rng(0)
     index = IVFIndex(
         coarse_centroids=rng.normal(size=(NLIST, D)).astype(np.float32),
@@ -46,6 +49,7 @@ def main():
     )
     pidx = PallasIVFIndex(index)
     queries = jnp.asarray(rng.normal(size=(N_QUERIES, D)).astype(np.float32))
+    T_max = _tile_budget(N_QUERIES, NPROBE, NLIST, 1.35)
 
     # completion barrier = ONE fused scalar readback (block_until_ready does
     # not block through the axon tunnel, and each host<->device readback
@@ -53,14 +57,21 @@ def main():
     # tunnel latency into the measurement). The work-tile overflow flag is
     # fused into the same readback: a huge sentinel would make the sanity
     # check below fail if the capacity-budgeted grid ever dropped a pair.
-    @jax.jit
-    def searched_sum(q):
-        s, i, overflow = pidx.search_device(q, topk=TOPK, nprobe=NPROBE)
+    # Index arrays are jit ARGUMENTS, not closure captures — captured
+    # constants ship in the remote-compile payload (CLAUDE.md).
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def searched_sum(q, centroids, coarse, cell_codes, cell_ids):
+        s, i, overflow = _ivf_search_device(
+            q, centroids, coarse, cell_codes, cell_ids,
+            NPROBE, TOPK, K, T_max)
         return (jnp.sum(s) + i[0, 0].astype(jnp.float32)
                 + overflow.astype(jnp.float32) * 1e30)
 
     def run():
-        return float(searched_sum(queries))
+        return float(searched_sum(queries, pidx.centroids, pidx.coarse,
+                                  pidx.cell_codes, pidx.cell_ids))
 
     assert abs(run()) < 1e29, "tile-capacity overflow; results not exact"
     times = []
