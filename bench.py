@@ -34,8 +34,7 @@ def main():
     from repconc_tpu.index.ivf import IVFIndex
     from repconc_tpu.index.pallas_ivf import PallasIVFIndex
 
-    from repconc_tpu.index.pallas_ivf import (QT_G, _ivf_search_device,
-                                              _tile_budget)
+    from repconc_tpu.index.pallas_ivf import _ivf_search_device, _tile_budget
 
     rng = np.random.default_rng(0)
     index = IVFIndex(
