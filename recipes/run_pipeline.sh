@@ -9,6 +9,10 @@
 #   ./run_pipeline.sh sentence-bert.env 2 3 4 5 6 7 8 9 10
 #
 # Stages (reference: examples/tas-balanced/README.md:44-72):
+#   0  dense contrastive pre-training (only when no converged dense
+#      checkpoint exists — the reference starts from published converged
+#      encoders; this stage produces the equivalent, exported as an HF dir
+#      at ${OUT_ROOT}/dense_pretrain/export_hf; point HF_MODEL_DIR there)
 #   1  prepare dataset (MS MARCO passage; needs network — see prepare_msmarco.sh)
 #   2  customize dense checkpoint (stamp pooling + similarity metric)
 #   3  dense corpus encoding + flat-IP eval (reproduction check + embeds)
@@ -47,6 +51,36 @@ best_or_final() {
 
 for STAGE in "$@"; do
 case $STAGE in
+0)
+  # bootstrap valid set (no dense run exists yet): judged docs + random pad
+  python -m repconc_tpu.cli.run_gen_valid_set \
+    --input_corpus_path "${DATA_DIR}/corpus.tsv" \
+    --input_query_path "${DATA_DIR}/queries.dev.small.tsv" \
+    --input_qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
+    --random_sample ${VALID0_SAMPLE:-5000} \
+    --output_corpus_path "${OUT_ROOT}/valid0/corpus.tsv" \
+    --output_query_path "${OUT_ROOT}/valid0/queries.tsv" \
+    --output_qrel_path "${OUT_ROOT}/valid0/qrels.tsv"
+  python -m repconc_tpu.cli.run_train_dense \
+    --model_name_or_path "${HF_MODEL_DIR}" ${ADAPTER_FLAG} \
+    --output_dir "${OUT_ROOT}/dense_pretrain" \
+    --pooling "${POOLING}" --similarity_metric "${METRIC_DENSE:-METRIC_IP}" \
+    --qrel_path "${DATA_DIR}/qrels.train.tsv" \
+    --query_path "${DATA_DIR}/queries.train.tsv" \
+    --corpus_path "${DATA_DIR}/corpus.tsv" \
+    --valid_qrel_path "${OUT_ROOT}/valid0/qrels.tsv" \
+    --valid_query_path "${OUT_ROOT}/valid0/queries.tsv" \
+    --valid_corpus_path "${OUT_ROOT}/valid0/corpus.tsv" \
+    --max_query_len ${MAX_QUERY_LEN:-16} --max_doc_len ${MAX_DOC_LEN:-128} \
+    --per_device_train_batch_size ${DENSE_BATCH:-256} \
+    --negative random --negative_per_query ${DENSE_NEGS:-1} \
+    --learning_rate ${DENSE_LR:-1e-4} --warmup_steps ${DENSE_WARMUP:-100} \
+    --cache_chunk_size ${CACHE_CHUNK:-128} \
+    --max_steps ${DENSE_STEPS:-2000} \
+    --logging_steps 20 --eval_steps ${DENSE_EVAL_STEPS:-200} \
+    --save_steps ${DENSE_EVAL_STEPS:-200} \
+    --data_parallel
+  ;;
 1)
   bash "$(dirname "$0")/prepare_msmarco.sh" "${DATA_DIR}"
   ;;

@@ -7,6 +7,11 @@ top-`--topk` documents a dense run retrieved for each judged query —
 small enough to re-encode every eval_steps during stage-1 training while
 still containing each query's positives and its hardest distractors.
 Queries and qrels pass through unchanged.
+
+Bootstrap mode (stage 0, before any run exists): omit --input_run_path and
+pass --random_sample N to pad the judged docids with N randomly sampled
+corpus docs instead of run-mined distractors — used by the dense
+pre-training stage, whose validation must exist before the first dense run.
 """
 from __future__ import annotations
 
@@ -36,6 +41,25 @@ def select_validation_docids(qrel_path: str, run_path: str, depth: int) -> set:
     return keep
 
 
+def sample_corpus_docids(qrel_path: str, corpus_path: str, n_sample: int,
+                         seed: int = 0) -> set:
+    """Judged docids + `n_sample` random corpus docids (run-free bootstrap)."""
+    import random
+
+    keep: set = set()
+    with open(qrel_path) as fh:
+        for line in fh:
+            _qid, _, docid, _rel = line.split()
+            keep.add(docid)
+    all_ids = []
+    with open(corpus_path) as fh:
+        for line in fh:
+            all_ids.append(line.split("\t", 1)[0])
+    rng = random.Random(seed)
+    keep.update(rng.sample(all_ids, min(n_sample, len(all_ids))))
+    return keep
+
+
 def filter_corpus_tsv(src_path: str, dst_path: str, keep: set) -> int:
     """Copy the corpus TSV lines whose id column is in `keep`; return count."""
     kept = 0
@@ -52,8 +76,13 @@ def main(argv=None):
     parser.add_argument("--input_corpus_path", required=True)
     parser.add_argument("--input_query_path", required=True)
     parser.add_argument("--input_qrel_path", required=True)
-    parser.add_argument("--input_run_path", required=True)
-    parser.add_argument("--topk", type=int, required=True)
+    parser.add_argument("--input_run_path", default=None,
+                        help="dense run to mine distractors from; omit with "
+                             "--random_sample for the stage-0 bootstrap mode")
+    parser.add_argument("--topk", type=int, default=100)
+    parser.add_argument("--random_sample", type=int, default=0,
+                        help="run-free mode: pad judged docids with N random docs")
+    parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output_corpus_path", required=True)
     parser.add_argument("--output_query_path", required=True)
     parser.add_argument("--output_qrel_path", required=True)
@@ -66,8 +95,15 @@ def main(argv=None):
     shutil.copy(args.input_query_path, args.output_query_path)
     shutil.copy(args.input_qrel_path, args.output_qrel_path)
 
-    keep = select_validation_docids(args.input_qrel_path, args.input_run_path,
-                                    args.topk)
+    if args.input_run_path:
+        keep = select_validation_docids(args.input_qrel_path,
+                                        args.input_run_path, args.topk)
+    elif args.random_sample > 0:
+        keep = sample_corpus_docids(args.input_qrel_path,
+                                    args.input_corpus_path,
+                                    args.random_sample, seed=args.seed)
+    else:
+        parser.error("need --input_run_path or --random_sample > 0")
     kept = filter_corpus_tsv(args.input_corpus_path, args.output_corpus_path,
                              keep)
     logger.info("validation corpus: wrote %d of %d selected docids to %s",

@@ -55,6 +55,44 @@ def repconc_retrieval(
     return run_from_topk(query_ids, scores, ids), codes, corpus_ids, query_ids
 
 
+def evaluate_dense_model(
+    config: RepConcConfig,
+    params,
+    tokenizer,
+    corpus: Dict[Any, str],
+    queries: Dict[Any, str],
+    qrels: Dict[str, Dict[str, int]],
+    max_seq_length: int = 512,
+    topk: int = 10,
+    encode_batch: int = 256,
+    k_values=(10,),
+    mrr_k_values=(10,),
+) -> Dict[str, float]:
+    """Uncompressed in-training validation: encode corpus + queries to fp32
+    embeddings, exact flat-IP search, TREC metrics. Used by the dense
+    pre-training stage (stage 0), where quantized eval would be meaningless
+    (centroids are untrained). Reference analog: evaluate_dense.py:92-129."""
+    from repconc_tpu.index.flat import batch_flat_search
+
+    c_embeds, corpus_ids = encode_corpus(
+        corpus, config, params, tokenizer, max_seq_length,
+        batch_size=encode_batch, output="continuous_embedding")
+    q_embeds, query_ids = encode_queries(
+        queries, config, params, tokenizer, max_seq_length,
+        batch_size=encode_batch)
+    scores, ids = batch_flat_search(
+        query_ids, q_embeds, corpus_ids, c_embeds, topk=topk)
+    run = run_from_topk(query_ids, scores, ids)
+    metrics = evaluate_run(qrels, run, k_values=k_values,
+                           mrr_k_values=mrr_k_values)
+    flat: Dict[str, float] = {}
+    for cat, d in metrics.items():
+        if cat == "perquery":
+            continue
+        flat.update(d)
+    return flat
+
+
 def evaluate_repconc_model(
     config: RepConcConfig,
     params,

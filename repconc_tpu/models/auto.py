@@ -168,6 +168,87 @@ def convert_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[st
     return params
 
 
+def _dense_inv(layer: Dict[str, Any], name: str, out: Dict[str, np.ndarray]):
+    # ascontiguousarray: safetensors serializes the raw buffer, so a
+    # transposed (F-ordered) view would silently save transposed data
+    out[f"{name}.weight"] = np.ascontiguousarray(
+        np.asarray(layer["kernel"]).T, dtype=np.float32)
+    out[f"{name}.bias"] = np.asarray(layer["bias"]).astype(np.float32)
+
+
+def _ln_inv(layer: Dict[str, Any], name: str, out: Dict[str, np.ndarray]):
+    out[f"{name}.weight"] = np.asarray(layer["scale"]).astype(np.float32)
+    out[f"{name}.bias"] = np.asarray(layer["bias"]).astype(np.float32)
+
+
+def export_hf_weights(params: Dict[str, Any], cfg: EncoderConfig) -> Dict[str, np.ndarray]:
+    """Inverse of convert_hf_weights: flax DenseEncoder params -> HF torch
+    state dict (no backbone prefix, the bare-model layout BertModel saves).
+
+    Used to export a TPU-trained dense encoder as a standard HF checkpoint so
+    every downstream pipeline stage (and external HF tooling) can consume it —
+    the reference's trainers save HF checkpoints natively (SURVEY.md §5)."""
+    t = params["transformer"]
+    sd: Dict[str, np.ndarray] = {}
+    sd["embeddings.word_embeddings.weight"] = np.asarray(
+        t["word_embeddings"]["embedding"]).astype(np.float32)
+    sd["embeddings.position_embeddings.weight"] = np.asarray(
+        t["position_embeddings"]["embedding"]).astype(np.float32)
+    if cfg.type_vocab_size > 0:
+        sd["embeddings.token_type_embeddings.weight"] = np.asarray(
+            t["token_type_embeddings"]["embedding"]).astype(np.float32)
+    _ln_inv(t["embeddings_ln"], "embeddings.LayerNorm", sd)
+
+    distil = cfg.model_type == "distilbert"
+    for i in range(cfg.num_hidden_layers):
+        layer = t[f"layer_{i}"]
+        if distil:
+            p = f"transformer.layer.{i}"
+            _dense_inv(layer["attention"]["query"], f"{p}.attention.q_lin", sd)
+            _dense_inv(layer["attention"]["key"], f"{p}.attention.k_lin", sd)
+            _dense_inv(layer["attention"]["value"], f"{p}.attention.v_lin", sd)
+            _dense_inv(layer["attention"]["out"], f"{p}.attention.out_lin", sd)
+            _ln_inv(layer["attention_ln"], f"{p}.sa_layer_norm", sd)
+            _dense_inv(layer["mlp_up"], f"{p}.ffn.lin1", sd)
+            _dense_inv(layer["mlp_down"], f"{p}.ffn.lin2", sd)
+            _ln_inv(layer["mlp_ln"], f"{p}.output_layer_norm", sd)
+        else:
+            p = f"encoder.layer.{i}"
+            _dense_inv(layer["attention"]["query"], f"{p}.attention.self.query", sd)
+            _dense_inv(layer["attention"]["key"], f"{p}.attention.self.key", sd)
+            _dense_inv(layer["attention"]["value"], f"{p}.attention.self.value", sd)
+            _dense_inv(layer["attention"]["out"], f"{p}.attention.output.dense", sd)
+            _ln_inv(layer["attention_ln"], f"{p}.attention.output.LayerNorm", sd)
+            _dense_inv(layer["mlp_up"], f"{p}.intermediate.dense", sd)
+            _dense_inv(layer["mlp_down"], f"{p}.output.dense", sd)
+            _ln_inv(layer["mlp_ln"], f"{p}.output.LayerNorm", sd)
+
+    if cfg.projection:
+        _dense_inv(params["projection"], "embeddingHead", sd)
+        _ln_inv(params["projection_ln"], "norm", sd)
+    return sd
+
+
+def save_hf_checkpoint(output_dir: str, src_model_dir: str,
+                       encoder_params: Dict[str, Any], cfg: EncoderConfig) -> None:
+    """Write an HF-format checkpoint dir: src's config.json + tokenizer files
+    plus model.safetensors holding `encoder_params` (exported torch layout)."""
+    import shutil
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(output_dir, exist_ok=True)
+    sd = export_hf_weights(encoder_params, cfg)
+    save_file(sd, os.path.join(output_dir, "model.safetensors"))
+    for name in os.listdir(src_model_dir):
+        if name in ("model.safetensors", "pytorch_model.bin") or \
+                name.startswith("checkpoint"):
+            continue
+        s = os.path.join(src_model_dir, name)
+        if os.path.isfile(s):
+            shutil.copy(s, os.path.join(output_dir, name))
+
+
 def load_dense_encoder(
     model_dir: str, adapter: Optional[str] = None
 ) -> Tuple[EncoderConfig, Dict[str, Any], str]:

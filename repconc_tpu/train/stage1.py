@@ -53,6 +53,7 @@ class Stage1Hparams:
     negative_per_query: int = 1
     dynamic_topk_hard_negative: Optional[int] = None
     use_constraint: bool = True
+    quantize: bool = True               # False: dense pre-training (stage 0)
     cache_chunk_size: int = -1          # -1: no chunking (plain large batch)
     max_grad_norm: float = 1.0
     adam_beta2: float = 0.999
@@ -166,13 +167,19 @@ def make_train_step(config: RepConcConfig, hp: Stage1Hparams, tx):
             doc_embeds = pos_embeds
             doc_ids = batch["pos_docids"]
 
-        # constrained quantization over the (global) doc batch
-        codes = codebook.encode(
-            doc_embeds, params["centroids"],
-            use_constraint=hp.use_constraint,
-            sk_epsilon=config.sk_epsilon, sk_iters=config.sk_iters)
-        quantized = codebook.decode(codes, params["centroids"])
-        doc_rep = losses.straight_through(quantized, doc_embeds)
+        if hp.quantize:
+            # constrained quantization over the (global) doc batch
+            codes = codebook.encode(
+                doc_embeds, params["centroids"],
+                use_constraint=hp.use_constraint,
+                sk_epsilon=config.sk_epsilon, sk_iters=config.sk_iters)
+            quantized = codebook.decode(codes, params["centroids"])
+            doc_rep = losses.straight_through(quantized, doc_embeds)
+        else:
+            # dense pre-training (stage 0): contrastive loss straight on the
+            # continuous embeddings, no codebook in the graph
+            quantized = doc_embeds
+            doc_rep = doc_embeds
 
         neg_mask = losses.false_negative_mask(
             batch["qids"], doc_ids, batch["query_positives"]) | \
@@ -204,7 +211,13 @@ def make_train_step(config: RepConcConfig, hp: Stage1Hparams, tx):
 
 def make_quant_health_fn(config: RepConcConfig):
     """test_quantize + eval_balance diagnostics (finetune_repconc.py:580-613):
-    reconstruction RMSE and code-balance stats with and without constraint."""
+    reconstruction RMSE and code-balance stats with and without constraint.
+
+    Balance is measured over ALL M subspaces (the reference's eval_balance
+    loops subspaces, finetune_repconc.py:580-599): counts is the (M, K)
+    per-subspace code histogram, imbalance |1 - count/expected| is averaged /
+    maxed over the full (M, K) grid, and the per-subspace maximum is also
+    returned so a pathology in any single subspace is visible in the logs."""
 
     @jax.jit
     def fn(params, doc_embeds):
@@ -216,12 +229,15 @@ def make_quant_health_fn(config: RepConcConfig):
                                     sk_iters=config.sk_iters)
             rec = codebook.decode(codes, params["centroids"])
             rmse = jnp.mean(jnp.sqrt(jnp.sum((rec - doc_embeds) ** 2, -1)))
-            counts = jnp.sum(jax.nn.one_hot(codes[:, 0], config.MCQ_K), axis=0)
+            # (B, M) codes -> (M, K) histogram in one one-hot sum
+            counts = jnp.sum(jax.nn.one_hot(codes, config.MCQ_K), axis=0)
             expected = doc_embeds.shape[0] / config.MCQ_K
-            imbalance = jnp.abs(1.0 - counts / expected)
+            imbalance = jnp.abs(1.0 - counts / expected)      # (M, K)
             out[f"{prefix}_rmse"] = rmse
             out[f"{prefix}_avg_imbalance"] = jnp.mean(imbalance)
             out[f"{prefix}_max_imbalance"] = jnp.max(imbalance)
+            out[f"{prefix}_worst_subspace"] = jnp.argmax(
+                jnp.max(imbalance, axis=1)).astype(jnp.float32)
         return out
 
     return fn
@@ -292,7 +308,8 @@ def train(
     """Run stage-1 training. valid_set = (corpus, queries, qrels).
 
     Resumes automatically if output_dir holds a train_state checkpoint."""
-    from repconc_tpu.eval.pipeline import evaluate_repconc_model
+    from repconc_tpu.eval.pipeline import (evaluate_dense_model,
+                                           evaluate_repconc_model)
 
     tx = make_optimizer(hp, params)
     opt_state = tx.init(params)
@@ -328,17 +345,19 @@ def train(
         step += 1
         if hp.logging_steps and step % hp.logging_steps == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            doc_embeds = repconc_model.encode_continuous(
-                config, params, dev_batch["pos_input_ids"],
-                dev_batch["pos_attention_mask"])
-            m.update({k: round(float(v), 4)
-                      for k, v in health_fn(params, doc_embeds).items()})
+            if hp.quantize:
+                doc_embeds = repconc_model.encode_continuous(
+                    config, params, dev_batch["pos_input_ids"],
+                    dev_batch["pos_attention_mask"])
+                m.update({k: round(float(v), 4)
+                          for k, v in health_fn(params, doc_embeds).items()})
             m["step"] = step
             history.append(m)
             log(m)
         if hp.eval_steps and valid_set is not None and step % hp.eval_steps == 0:
             corpus, queries, qrels = valid_set
-            eval_m = evaluate_repconc_model(
+            eval_fn = evaluate_repconc_model if hp.quantize else evaluate_dense_model
+            eval_m = eval_fn(
                 config, params, tokenizer, corpus, queries, qrels,
                 max_seq_length=512, topk=10)
             log({"step": step, **{f"eval_{k}": v for k, v in eval_m.items()}})

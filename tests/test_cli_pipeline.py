@@ -204,3 +204,64 @@ def test_full_pipeline(env):
         "--out_corpus_dir", str(root / "conc_eval"),
         "--out_query_dir", str(root / "conc_eval" / "dev"),
         "--max_seq_length", "32", "--topk", "20"])
+
+
+def test_stage0_dense_pretrain(env):
+    """Stage 0: run-free valid-set bootstrap + dense contrastive pre-training
+    + HF export, and the exported checkpoint must reload as a dense encoder
+    producing the same embeddings as the trained flax params."""
+    import jax.numpy as jnp
+
+    from repconc_tpu.cli import run_train_dense
+    from repconc_tpu.models import repconc_model
+    from repconc_tpu.models.auto import load_dense_encoder
+    from repconc_tpu.models.transformer import DenseEncoder
+
+    root = env
+    data = root / "data"
+
+    # run-free bootstrap valid set (judged + random pad)
+    run_gen_valid_set.main([
+        "--input_corpus_path", str(data / "corpus.tsv"),
+        "--input_query_path", str(data / "queries.tsv"),
+        "--input_qrel_path", str(data / "qrels.txt"),
+        "--random_sample", "40",
+        "--output_corpus_path", str(root / "valid0" / "corpus.tsv"),
+        "--output_query_path", str(root / "valid0" / "queries.tsv"),
+        "--output_qrel_path", str(root / "valid0" / "qrels.txt")])
+    lines = open(root / "valid0" / "corpus.tsv").read().splitlines()
+    assert 40 <= len(lines) <= 120
+
+    run_train_dense.main([
+        "--model_name_or_path", str(root / "raw_model"),
+        "--output_dir", str(root / "dense_pretrain"),
+        "--pooling", "mean", "--similarity_metric", "METRIC_IP",
+        "--qrel_path", str(data / "qrels.txt"),
+        "--query_path", str(data / "queries.tsv"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--valid_qrel_path", str(root / "valid0" / "qrels.txt"),
+        "--valid_query_path", str(root / "valid0" / "queries.tsv"),
+        "--valid_corpus_path", str(root / "valid0" / "corpus.tsv"),
+        "--max_query_len", "8", "--max_doc_len", "16",
+        "--per_device_train_batch_size", "8",
+        "--learning_rate", "1e-4", "--warmup_steps", "2",
+        "--max_steps", "4", "--logging_steps", "2", "--eval_steps", "4"])
+
+    export = root / "dense_pretrain" / "export_hf"
+    assert (export / "model.safetensors").exists()
+    assert (export / "config.json").exists()
+    assert (export / "vocab.txt").exists()
+
+    # parity: exported HF checkpoint == trained flax params
+    src = root / "dense_pretrain" / "best"
+    if not src.exists():
+        src = root / "dense_pretrain" / "final"
+    cfg, params = repconc_model.from_pretrained(str(src))
+    enc_cfg, enc_params, _ = load_dense_encoder(str(export))
+    enc_cfg.pooling = cfg.encoder.pooling
+    ids = jnp.asarray(np.arange(5, 13, dtype=np.int32)[None, :])
+    mask = jnp.ones_like(ids)
+    module = DenseEncoder(enc_cfg, "METRIC_IP")
+    a = np.asarray(module.apply({"params": enc_params}, ids, mask))
+    b = np.asarray(module.apply({"params": params["encoder"]}, ids, mask))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -183,3 +183,40 @@ def test_load_dense_encoder_from_dir(rng, tmp_path):
                                   jnp.asarray(ids), jnp.asarray(mask)))
     assert out.shape == (3, 32)
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_export_hf_weights_roundtrip(rng):
+    """flax -> HF export (auto.export_hf_weights) must invert the HF -> flax
+    conversion exactly: convert, export, re-convert, compare forwards."""
+    from transformers import BertConfig, BertModel
+
+    from repconc_tpu.models.auto import export_hf_weights
+
+    hf_cfg = BertConfig(**TINY, pad_token_id=0)
+    model = BertModel(hf_cfg, add_pooling_layer=False).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    cfg = encoder_config_from_hf(hf_cfg.to_dict())
+    params = convert_hf_weights(sd, cfg)
+
+    sd2 = export_hf_weights(params, cfg)
+    assert set(sd2) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(sd2[k], sd[k], rtol=1e-6, atol=1e-7)
+
+
+def test_export_hf_weights_roundtrip_distilbert(rng):
+    from transformers import DistilBertConfig, DistilBertModel
+
+    from repconc_tpu.models.auto import export_hf_weights
+
+    hf_cfg = DistilBertConfig(
+        vocab_size=64, dim=32, n_layers=2, n_heads=4, hidden_dim=64,
+        max_position_embeddings=64)
+    model = DistilBertModel(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    cfg = encoder_config_from_hf(hf_cfg.to_dict())
+    params = convert_hf_weights(sd, cfg)
+    sd2 = export_hf_weights(params, cfg)
+    assert set(sd2) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(sd2[k], sd[k], rtol=1e-6, atol=1e-7)
