@@ -9,10 +9,11 @@ depends on layout shape, not code values.
 Usage: python recipes/bench_ivf_scale.py [--nprobes 16,64,128]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -19,6 +19,52 @@ import os
 import numpy as np
 
 
+def _write_corpus_vectorized(data_dir, rng, doc_sub, sub_words, topic_words,
+                             noise_words, subtopics_per_topic,
+                             chunk: int = 200_000):
+    """MS MARCO-scale corpus writer (8.8M docs in minutes, not hours).
+
+    All word picks are vectorized int draws; text assembly uses space-padded
+    fixed-width byte columns concatenated by a dtype view (one C memcpy per
+    chunk instead of 48 string joins per doc). Runs of spaces are harmless:
+    the wordpiece tokenizer whitespace-splits. Word order is column-fixed
+    (signal words interleaved among noise) rather than per-doc shuffled —
+    equivalent for the retrieval task at this scale."""
+    n = len(doc_sub)
+    sub_arr = np.array(sub_words)         # (n_sub, 3)
+    top_arr = np.array(topic_words)       # (n_topics, 4)
+    noise_arr = np.array(noise_words)
+    width = max(sub_arr.dtype.itemsize, top_arr.dtype.itemsize,
+                noise_arr.dtype.itemsize) // 4 + 1  # chars incl pad space
+
+    with open(os.path.join(data_dir, "corpus.tsv"), "wb") as f:
+        for start in range(0, n, chunk):
+            stop = min(start + chunk, n)
+            m = stop - start
+            subs = doc_sub[start:stop]
+            tops = subs // subtopics_per_topic
+            cols = []
+            # interleave: 6 sub picks, 10 topic picks, 32 noise picks
+            for j in range(6):
+                cols.append(sub_arr[subs, rng.integers(0, 3, size=m)])
+            for j in range(10):
+                cols.append(top_arr[tops, rng.integers(0, 4, size=m)])
+            for j in range(32):
+                cols.append(noise_arr[rng.integers(0, len(noise_arr), size=m)])
+            body = np.zeros((m, len(cols)), dtype=f"S{width}")
+            for j, c in enumerate(cols):
+                body[:, j] = np.char.ljust(c.astype("S"), width)
+            body_flat = body.view(f"S{width * len(cols)}").reshape(m)
+            ids = np.char.add("d", np.arange(start, stop).astype("U")).astype("S")
+            title = np.char.add(np.char.add(sub_arr[subs, 0].astype("S"), b" "),
+                                top_arr[tops, 0].astype("S"))
+            line = np.char.add(np.char.add(ids, b"\t"), title)
+            line = np.char.add(np.char.add(line, b"\t"), body_flat)
+            line = np.char.add(np.char.rstrip(line), b"\n")
+            f.write(b"".join(line.tolist()))
+            print(f"corpus: {stop}/{n}", flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out_dir", default="./synth_workspace")
@@ -68,16 +114,21 @@ def main():
     os.makedirs(data_dir, exist_ok=True)
 
     doc_sub = rng.integers(0, n_sub, size=args.n_docs)
-    with open(os.path.join(data_dir, "corpus.tsv"), "w") as f:
-        for i in range(args.n_docs):
-            s = int(doc_sub[i])
-            t = s // args.subtopics_per_topic
-            words = (list(rng.choice(sub_words[s], size=6))
-                     + list(rng.choice(topic_words[t], size=10))
-                     + list(rng.choice(noise_words, size=32)))
-            rng.shuffle(words)
-            title = f"{sub_words[s][0]} {topic_words[t][0]}"
-            f.write(f"d{i}\t{title}\t{' '.join(words)}\n")
+    if args.n_docs <= 500_000:
+        with open(os.path.join(data_dir, "corpus.tsv"), "w") as f:
+            for i in range(args.n_docs):
+                s = int(doc_sub[i])
+                t = s // args.subtopics_per_topic
+                words = (list(rng.choice(sub_words[s], size=6))
+                         + list(rng.choice(topic_words[t], size=10))
+                         + list(rng.choice(noise_words, size=32)))
+                rng.shuffle(words)
+                title = f"{sub_words[s][0]} {topic_words[t][0]}"
+                f.write(f"d{i}\t{title}\t{' '.join(words)}\n")
+    else:
+        _write_corpus_vectorized(data_dir, rng, doc_sub, sub_words,
+                                 topic_words, noise_words,
+                                 args.subtopics_per_topic)
 
     # per-subtopic doc inventory for qrels
     by_sub = [[] for _ in range(n_sub)]

@@ -44,6 +44,9 @@ def build_parser():
                         help="custom model adapter (e.g. ance, tct)")
     parser.add_argument("--save_corpus_embed", action="store_true")
     parser.add_argument("--save_query_embed", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="encode over all devices (batch dp-sharded) and "
+                             "search with the corpus sharded over the mesh")
     return parser
 
 
@@ -79,6 +82,13 @@ def main(argv=None):
 
     config, params, tokenizer = load_model(args)
 
+    mesh = None
+    if args.data_parallel:
+        from repconc_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh()
+        logger.info("data-parallel eval mesh over %d devices", mesh.size)
+
     if args.data_format == "msmarco":
         corpus_loader = lambda p: load_corpus(p, tokenizer.sep_token)
         query_loader = load_queries
@@ -97,7 +107,7 @@ def main(argv=None):
         corpus_embeds, corpus_ids = encode_corpus(
             corpus, config, params, tokenizer, args.max_seq_length,
             batch_size=args.per_device_eval_batch_size,
-            output="continuous_embedding")
+            output="continuous_embedding", mesh=mesh)
         if args.save_corpus_embed:
             os.makedirs(args.out_corpus_dir, exist_ok=True)
             np.save(emb_path, corpus_embeds)
@@ -113,7 +123,7 @@ def main(argv=None):
         queries = query_loader(args.query_path)
         query_embeds, query_ids = encode_queries(
             queries, config, params, tokenizer, args.max_seq_length,
-            batch_size=args.per_device_eval_batch_size)
+            batch_size=args.per_device_eval_batch_size, mesh=mesh)
         if args.save_query_embed:
             os.makedirs(args.out_query_dir, exist_ok=True)
             np.save(qemb_path, query_embeds)
@@ -125,9 +135,23 @@ def main(argv=None):
         return
     os.makedirs(args.out_query_dir, exist_ok=True)
 
-    scores, topk_ids = batch_flat_search(
-        query_ids, query_embeds, corpus_ids, corpus_embeds,
-        topk=args.topk, batch_size=args.search_batch)
+    if mesh is not None:
+        from repconc_tpu.parallel.sharded import sharded_flat_search
+
+        import math
+        all_s, all_i = [], []
+        iters = math.ceil(len(query_ids) / args.search_batch)
+        for q_chunk in np.array_split(query_embeds, iters):
+            s, i = sharded_flat_search(mesh, q_chunk, corpus_embeds,
+                                       topk=args.topk)
+            all_s.append(s)
+            all_i.append(corpus_ids[i])
+        scores = np.concatenate(all_s, 0)
+        topk_ids = np.concatenate(all_i, 0)
+    else:
+        scores, topk_ids = batch_flat_search(
+            query_ids, query_embeds, corpus_ids, corpus_embeds,
+            topk=args.topk, batch_size=args.search_batch)
     out_run_path = os.path.join(args.out_query_dir, "run.tsv")
     write_run_tsv(out_run_path, query_ids, scores, topk_ids)
 

@@ -49,6 +49,14 @@ def build_parser():
     parser.add_argument("--index_type", default="flat", choices=["flat", "ivf"])
     parser.add_argument("--nlist", type=int, default=4096)
     parser.add_argument("--nprobe", type=int, default=64)
+    parser.add_argument("--serving", default="auto",
+                        choices=["auto", "pallas", "xla"],
+                        help="IVF serving path: auto = the cell-grouped "
+                             "Pallas kernel on TPU, XLA scan on CPU")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="encode over all devices (batch dp-sharded) and "
+                             "search with the index sharded over the mesh "
+                             "(reference: evaluate_repconc.py:121-153)")
     parser.add_argument("--corpus_embed_path", default=None,
                         help="rotated corpus embeddings (.npy) for IVF coarse "
                              "training; required for --index_type ivf unless "
@@ -78,6 +86,17 @@ def main(argv=None):
     setup_logging()
     doc_dir, query_dir = resolve_paths(args)
 
+    mesh = None
+    if args.data_parallel:
+        from repconc_tpu.core.mesh import create_mesh
+
+        mesh = create_mesh()
+        logger.info("data-parallel eval mesh over %d devices", mesh.size)
+
+    from repconc_tpu.core.profiling import Stopwatch
+
+    sw = Stopwatch()
+
     # --- corpus codes (cached) ---
     codes_path = os.path.join(args.out_corpus_dir, "codes.npy")
     cids_path = os.path.join(args.out_corpus_dir, "corpus_ids.npy")
@@ -86,13 +105,16 @@ def main(argv=None):
         codes, corpus_ids = np.load(codes_path), np.load(cids_path)
     else:
         config, params, tokenizer = load_model_and_tokenizer(doc_dir, args.adapter)
-        if args.data_format == "msmarco":
-            corpus = load_corpus(args.corpus_path, tokenizer.sep_token)
-        else:
-            corpus = load_beir_corpus(args.corpus_path)
-        codes, corpus_ids = encode_corpus(
-            corpus, config, params, tokenizer, args.max_seq_length,
-            batch_size=args.per_device_eval_batch_size, output="code")
+        with sw("load_corpus"):
+            if args.data_format == "msmarco":
+                corpus = load_corpus(args.corpus_path, tokenizer.sep_token)
+            else:
+                corpus = load_beir_corpus(args.corpus_path)
+        with sw("encode_corpus"):
+            codes, corpus_ids = encode_corpus(
+                corpus, config, params, tokenizer, args.max_seq_length,
+                batch_size=args.per_device_eval_batch_size, output="code",
+                mesh=mesh, stopwatch=sw)
         os.makedirs(args.out_corpus_dir, exist_ok=True)
         np.save(codes_path, codes)
         np.save(cids_path, corpus_ids)
@@ -110,9 +132,10 @@ def main(argv=None):
             queries = load_queries(args.query_path)
         else:
             queries = load_beir_queries(args.query_path)
-        query_embeds, query_ids = encode_queries(
-            queries, q_config, q_params, q_tokenizer, args.max_seq_length,
-            batch_size=args.per_device_eval_batch_size)
+        with sw("encode_queries"):
+            query_embeds, query_ids = encode_queries(
+                queries, q_config, q_params, q_tokenizer, args.max_seq_length,
+                batch_size=args.per_device_eval_batch_size, mesh=mesh)
         os.makedirs(args.out_query_dir, exist_ok=True)
         np.save(qemb_path, query_embeds)
         np.save(qids_path, query_ids)
@@ -125,40 +148,67 @@ def main(argv=None):
     # --- search with the QUERY model's centroids (stage-2 swap semantics) ---
     centroids = np.asarray(q_params["centroids"])
     if args.index_type == "ivf":
-        from repconc_tpu.index.ivf import IVFIndex, build_ivf, search_xla
+        from repconc_tpu.index.ivf import (IVFIndex, build_ivf,
+                                           build_ivf_from_codes, serve_search)
 
         ivf_path = os.path.join(args.out_corpus_dir, "ivf_index.npz")
-        if os.path.exists(ivf_path):
-            ivf = IVFIndex.load(args.out_corpus_dir)
-        else:
-            assert args.corpus_embed_path, \
-                "--corpus_embed_path needed to build the IVF coarse quantizer"
-            # coarse training happens in the ROTATED space (where codes and
-            # query embeddings live); dense corpus_embeds.npy is pre-rotation
-            d_config, d_params, _ = load_model_and_tokenizer(doc_dir, args.adapter)
-            rotation = np.asarray(d_params["rotation"])
-            corpus_embeds = np.load(args.corpus_embed_path) @ rotation.T
-            if d_config.similarity_metric == "METRIC_CENTROID_COS":
-                import jax.numpy as jnp
+        with sw("build_ivf"):
+            if os.path.exists(ivf_path):
+                ivf = IVFIndex.load(args.out_corpus_dir)
+            elif args.corpus_embed_path:
+                # coarse training happens in the ROTATED space (where codes
+                # and query embeddings live); dense corpus_embeds.npy is
+                # pre-rotation
+                d_config, d_params, _ = load_model_and_tokenizer(
+                    doc_dir, args.adapter)
+                rotation = np.asarray(d_params["rotation"])
+                corpus_embeds = np.load(args.corpus_embed_path) @ rotation.T
+                if d_config.similarity_metric == "METRIC_CENTROID_COS":
+                    import jax.numpy as jnp
 
-                from repconc_tpu.quant.codebook import normalize_subvectors
+                    from repconc_tpu.quant.codebook import normalize_subvectors
 
-                corpus_embeds = np.asarray(normalize_subvectors(
-                    jnp.asarray(corpus_embeds), d_config.MCQ_M))
-            ivf = build_ivf(corpus_embeds, codes, centroids, nlist=args.nlist)
-            ivf.save(args.out_corpus_dir)
+                    corpus_embeds = np.asarray(normalize_subvectors(
+                        jnp.asarray(corpus_embeds), d_config.MCQ_M))
+                ivf = build_ivf(corpus_embeds, codes, centroids,
+                                nlist=args.nlist)
+                ivf.save(args.out_corpus_dir)
+            else:
+                # no dense embeds on disk (MS MARCO scale: the fp32 matrix
+                # is ~27 GB) — train the coarse quantizer on PQ
+                # reconstructions
+                logger.info("building IVF from PQ reconstructions "
+                            "(no --corpus_embed_path)")
+                ivf = build_ivf_from_codes(codes, centroids, nlist=args.nlist)
+                ivf.save(args.out_corpus_dir)
         ivf.set_centroids(centroids)
-        scores, row_ids = search_xla(ivf, query_embeds, topk=args.topk,
-                                     nprobe=args.nprobe)
+        with sw("search"):
+            scores, row_ids = serve_search(ivf, query_embeds, topk=args.topk,
+                                           nprobe=args.nprobe,
+                                           search_batch=args.search_batch,
+                                           mode=args.serving, mesh=mesh)
         # -1 pad rows (score=-inf) must not wrap through corpus_ids; clamp —
         # write_run_tsv drops the non-finite entries.
         topk_ids = corpus_ids[np.maximum(row_ids, 0)]
+    elif mesh is not None:
+        from repconc_tpu.parallel.sharded import sharded_batch_adc_search
+
+        with sw("search"):
+            scores, row_ids = sharded_batch_adc_search(
+                mesh, query_embeds, codes, centroids,
+                topk=args.topk, batch_size=args.search_batch)
+        topk_ids = corpus_ids[np.maximum(row_ids, 0)]
     else:
-        scores, topk_ids = batch_adc_search(
-            query_ids, query_embeds, corpus_ids, codes, centroids,
-            topk=args.topk, batch_size=args.search_batch)
+        with sw("search"):
+            scores, topk_ids = batch_adc_search(
+                query_ids, query_embeds, corpus_ids, codes, centroids,
+                topk=args.topk, batch_size=args.search_batch)
     out_run_path = os.path.join(args.out_query_dir, "run.tsv")
     write_run_tsv(out_run_path, query_ids, scores, topk_ids)
+    logger.info("phase wall-clock (s): %s",
+                {k: round(v, 2) for k, v in sw.totals.items()})
+    with open(os.path.join(args.out_query_dir, "timings.json"), "w") as f:
+        json.dump({k: round(v, 3) for k, v in sw.totals.items()}, f, indent=1)
 
     if args.qrel_path is None:
         return

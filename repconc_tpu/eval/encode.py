@@ -58,18 +58,23 @@ def pad_to_bucket(ids: np.ndarray, mask: np.ndarray, max_length: int,
     return ids, mask
 
 
-def _encode_fn(config: RepConcConfig, output: str):
+def _encode_fn(config: RepConcConfig, output: str, mesh=None):
+    """Jitted encode fn; with `mesh`, the batch dim shards over the mesh's
+    data axis (SPMD replacement for the reference's DDP predict sharding,
+    evaluate_repconc.py:147-153)."""
     if output == "code":
-        @jax.jit
         def fn(params, ids, mask):
             out = repconc_model.forward(config, params, ids, mask,
                                         return_code=True, use_constraint=False)
             return out.discrete_codes
     else:
-        @jax.jit
         def fn(params, ids, mask):
             return repconc_model.encode_continuous(config, params, ids, mask)
-    return fn
+    if mesh is not None:
+        from repconc_tpu.parallel.sharded import sharded_encode_fn
+
+        return sharded_encode_fn(mesh, fn)
+    return jax.jit(fn)
 
 
 def encode_texts(
@@ -82,33 +87,55 @@ def encode_texts(
     output: str = "continuous_embedding",
     input_text_type: str = "doc",
     verbose: bool = False,
+    mesh=None,
+    stopwatch=None,
 ) -> np.ndarray:
-    """Encode a list of texts to codes (uint8) or continuous embeds (fp32)."""
+    """Encode a list of texts to codes (uint8) or continuous embeds (fp32).
+
+    mesh: shard each encode batch over the mesh's data axis (batch_size is
+    rounded up to a multiple of the mesh size)."""
     limit = config.encoder.max_position_embeddings - config.encoder.position_offset
     if max_seq_length > limit:
         logger.warning("max_seq_length %d exceeds the encoder's position table"
                        " (%d); truncating", max_seq_length, limit)
         max_seq_length = limit
+    if mesh is not None and batch_size % mesh.size != 0:
+        batch_size += -batch_size % mesh.size
     # Pin params on device ONCE: host numpy leaves passed to a jitted fn are
     # re-transferred on EVERY call — ~370 MB/batch through this
     # environment's ~10 MB/s host<->device tunnel (measured: 31 docs/s
     # instead of ~3,000 before this line).
-    params = jax.tree.map(jnp.asarray, params)
-    fn = _encode_fn(config, output)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+    else:
+        params = jax.tree.map(jnp.asarray, params)
+    fn = _encode_fn(config, output, mesh=mesh)
     n = len(texts)
     pad_id = config.encoder.pad_token_id
     outs = []
+    from repconc_tpu.core.profiling import Stopwatch
+
+    sw = stopwatch if stopwatch is not None else Stopwatch()
     for start in range(0, n, batch_size):
         batch = list(texts[start:start + batch_size])
         real = len(batch)
         if real < batch_size:  # static batch shape: pad with copies
             batch = batch + [batch[-1]] * (batch_size - real)
-        ids, mask = tokenize_batch(tokenizer, batch, max_seq_length, input_text_type)
-        ids, mask = pad_to_bucket(ids, mask, max_seq_length, pad_id)
-        res = np.asarray(fn(params, jnp.asarray(ids), jnp.asarray(mask)))[:real]
+        with sw("tokenize"):
+            ids, mask = tokenize_batch(tokenizer, batch, max_seq_length,
+                                       input_text_type)
+            ids, mask = pad_to_bucket(ids, mask, max_seq_length, pad_id)
+        with sw("device_encode"):
+            res = np.asarray(fn(params, jnp.asarray(ids),
+                                jnp.asarray(mask)))[:real]
         outs.append(res)
         if verbose and (start // batch_size) % 50 == 0:
             logger.info("encoded %d/%d", min(start + batch_size, n), n)
+    if verbose:
+        logger.info("encode phase split: %s",
+                    {k: round(v, 2) for k, v in sw.totals.items()})
     out = np.concatenate(outs, axis=0)
     return out.astype(np.uint8) if output == "code" else out.astype(np.float32)
 
@@ -121,6 +148,8 @@ def encode_corpus(
     max_seq_length: int,
     batch_size: int = 256,
     output: str = "code",
+    mesh=None,
+    stopwatch=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode a {docid: text} corpus, longest-first
     (reference: evaluate_repconc.py:138-159). Returns (codes_or_embeds, corpus_ids)."""
@@ -129,7 +158,7 @@ def encode_corpus(
     texts = [corpus[cid] for cid in corpus_ids]
     enc = encode_texts(texts, config, params, tokenizer, max_seq_length,
                        batch_size, output=output, input_text_type="doc",
-                       verbose=True)
+                       verbose=True, mesh=mesh, stopwatch=stopwatch)
     return enc, corpus_ids
 
 
@@ -140,6 +169,7 @@ def encode_queries(
     tokenizer,
     max_seq_length: int,
     batch_size: int = 256,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode queries to continuous fp32 embeddings, sorted by qid
     (reference: evaluate_repconc.py:162-177)."""
@@ -147,5 +177,5 @@ def encode_queries(
     texts = [queries[qid] for qid in query_ids]
     embeds = encode_texts(texts, config, params, tokenizer, max_seq_length,
                           batch_size, output="continuous_embedding",
-                          input_text_type="query")
+                          input_text_type="query", mesh=mesh)
     return embeds, np.array(query_ids)

@@ -86,6 +86,43 @@ class IVFIndex:
         return cls(**{k: z[k] for k in z.files})
 
 
+class ReconstructionView:
+    """Lazy (N, D) fp32 view over PQ codes: rows decode on demand via
+    decode_gather. Lets build_ivf run WITHOUT the dense corpus embeddings —
+    at MS MARCO scale (8.8M x 768) the fp32 embedding matrix is ~27 GB,
+    while codes are 0.4 GB. The coarse partition built from reconstructions
+    differs only within PQ quantization error, and recall semantics stay
+    exact w.r.t. the probed cells (the IVF is purely a pruning structure)."""
+
+    def __init__(self, codes: np.ndarray, pq_centroids: np.ndarray):
+        from repconc_tpu.quant.codebook import decode_gather
+
+        self._codes = codes
+        self._cent = jnp.asarray(pq_centroids, dtype=jnp.float32)
+        self._decode = jax.jit(decode_gather)
+        D = pq_centroids.shape[0] * pq_centroids.shape[2]
+        self.shape = (codes.shape[0], D)
+
+    def __getitem__(self, idx) -> np.ndarray:
+        rows = np.asarray(self._codes[idx]).astype(np.int32)
+        return np.asarray(self._decode(jnp.asarray(rows), self._cent))
+
+    def __array__(self, dtype=None, copy=None):
+        # full materialization — only reached for small-N subsample paths
+        full = self[slice(None)]
+        return full.astype(dtype) if dtype is not None else full
+
+
+def build_ivf_from_codes(codes: np.ndarray, pq_centroids: np.ndarray,
+                         **kwargs) -> IVFIndex:
+    """build_ivf when only the uint8 codes exist (no corpus_embeds on disk):
+    the coarse quantizer trains on and assigns PQ reconstructions, decoded
+    chunk-by-chunk on device. The reference cannot do this — its IVF path
+    needs the full float matrix for faiss training."""
+    return build_ivf(ReconstructionView(codes, pq_centroids), codes,
+                     pq_centroids, **kwargs)
+
+
 def build_ivf(
     corpus_embeds: np.ndarray,
     codes: np.ndarray,
@@ -278,3 +315,53 @@ def search_xla(
         scores = np.take_along_axis(scores, order, axis=1)
         ids = np.take_along_axis(ids, order, axis=1)
     return scores, ids
+
+
+def serve_search(
+    index: IVFIndex,
+    query_embeds: np.ndarray,
+    topk: int = 1000,
+    nprobe: int = 64,
+    search_batch: int = 1200,
+    mode: str = "auto",
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deployed IVF serving path: the cell-grouped Pallas kernel on TPU, the
+    XLA scan elsewhere. This is what the eval CLIs call — the same kernel
+    `bench.py` headlines, matching the reference's contract that its eval IS
+    its deployed fast scan (evaluate_repconc.py:188-206 batch_search).
+
+    mode: "auto" (Pallas on TPU, XLA otherwise), "pallas" (forced — runs in
+    interpret mode off-TPU, slow but exact), "xla".
+    mesh: serve from a CELL-SHARDED index (1/W memory per device,
+    ShardedPallasIVFIndex) instead of a device-resident copy.
+
+    Queries are served in fixed `search_batch` chunks, final short chunk
+    padded, so every batch hits one jit cache entry (static shapes).
+    """
+    if mode == "auto":
+        mode = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if mesh is None and mode == "xla":
+        return search_xla(index, query_embeds, topk=topk, nprobe=nprobe)
+
+    if mesh is not None:
+        from repconc_tpu.index.pallas_ivf import ShardedPallasIVFIndex
+
+        searcher = ShardedPallasIVFIndex(mesh, index)
+    else:
+        from repconc_tpu.index.pallas_ivf import PallasIVFIndex
+
+        searcher = PallasIVFIndex(index)
+    Q = query_embeds.shape[0]
+    search_batch = min(search_batch, Q)
+    all_s, all_i = [], []
+    for start in range(0, Q, search_batch):
+        qc = np.asarray(query_embeds[start:start + search_batch],
+                        dtype=np.float32)
+        real = qc.shape[0]
+        if real < search_batch:
+            qc = np.pad(qc, ((0, search_batch - real), (0, 0)))
+        s, i = searcher.search(qc, topk=topk, nprobe=nprobe)
+        all_s.append(s[:real])
+        all_i.append(i[:real])
+    return np.concatenate(all_s, axis=0), np.concatenate(all_i, axis=0)

@@ -66,6 +66,11 @@ def _tile_geometry(Lpad: int) -> tuple[int, int]:
     128, so 128 always divides)."""
     if Lpad <= L_SUB:
         return R_TILES, min(L_SUB, Lpad)
+    if Lpad % 128 != 0:
+        raise ValueError(
+            f"Lpad={Lpad} > {L_SUB} must be a multiple of 128: the Mosaic "
+            "compiler crashes on the short final sub-slice a remainder needs "
+            "(build_ivf pads to a multiple of 128; pad hand-built indexes)")
     return R_TILES, 256 if Lpad % 256 == 0 else 128
 
 
@@ -284,12 +289,12 @@ def _ivf_search_device(
 
     tiles_per_cell = -(-counts // QT_G)                          # ceil
     tiles_before = jnp.cumsum(tiles_per_cell) - tiles_per_cell
-    n_tiles = jnp.sum(tiles_per_cell)
     # pairs in tiles past T_max (possible when T_max is a capacity budget,
     # not the worst case): their scatters drop (OOB), their candidate rows
-    # are masked below, and the overflow count tells the caller to retry
-    overflow = jnp.maximum(n_tiles - T_max, 0)
+    # are masked below, and the overflow count tells the caller to retry.
+    # Unit: dropped PAIRS (same unit as ShardedPallasIVFIndex's overflow).
     work_id = jnp.take(tiles_before, pair_cell) + rank // QT_G   # (P,)
+    overflow = jnp.sum((work_id >= T_max).astype(jnp.int32))
     slot = rank % QT_G
     row = work_id * QT_G + slot                                  # pair -> slot row
 
@@ -402,7 +407,14 @@ class ShardedPallasIVFIndex:
         if getattr(self, "spill", None) is not None:
             self.spill.set_centroids(centroids)
 
-    def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64):
+    def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64,
+                      capacity_factor: float | None = -1.0):
+        """capacity_factor: -1.0 (default) uses the constructor's factor;
+        None sizes the per-device tile grid for the ADVERSARIAL worst case
+        (every pair owned by one device) — no overflow possible. Returned
+        overflow is a device int32 counting dropped PAIRS (same unit as the
+        single-chip path); search() retries at the worst-case shape when it
+        is positive."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -411,8 +423,13 @@ class ShardedPallasIVFIndex:
         nprobe = min(nprobe, self.nlist)
         W = self.mesh.size
         P_pairs = Q * nprobe
-        T_cap = (int(P_pairs * self.capacity_factor) // (W * QT_G)
-                 + self.nlist_local + 1)
+        if capacity_factor == -1.0:
+            capacity_factor = self.capacity_factor
+        if capacity_factor is None:
+            T_cap = P_pairs // QT_G + self.nlist_local + 1
+        else:
+            T_cap = (int(P_pairs * capacity_factor) // (W * QT_G)
+                     + self.nlist_local + 1)
         axis, nlist_local, K = self.axis, self.nlist_local, self.K
         gm = _group_size(self.cell_codes.shape[2], K)
 
@@ -492,9 +509,10 @@ class ShardedPallasIVFIndex:
     def search(self, query_embeds, topk: int = 1000, nprobe: int = 64):
         s, i, overflow = self.search_device(query_embeds, topk, nprobe)
         if int(overflow) > 0:
-            raise RuntimeError(
-                f"sharded IVF tile capacity overflow ({int(overflow)} pairs);"
-                " retry with a larger capacity_factor")
+            # self-heal exactly like the single-chip path: rerun once at the
+            # worst-case tile shape, where overflow is impossible
+            s, i, _ = self.search_device(query_embeds, topk, nprobe,
+                                         capacity_factor=None)
         s, i = np.asarray(s), np.asarray(i)
         if self.spill is not None:
             s_sp, i_sp = self.spill.search(query_embeds,

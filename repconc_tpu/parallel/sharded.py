@@ -34,6 +34,14 @@ def _local_topk_merge(scores_local, base_offsets, topk: int, axis_name: str):
     return ms, jnp.take_along_axis(all_i, pos, axis=1)
 
 
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    pad = (-arr.shape[0]) % multiple
+    if pad:
+        arr = np.concatenate(
+            [arr, np.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)], axis=0)
+    return arr
+
+
 def sharded_flat_search(
     mesh: Mesh,
     query_embeds,
@@ -42,26 +50,30 @@ def sharded_flat_search(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact inner-product search with the corpus sharded over the mesh.
 
-    corpus_embeds: (N, D) with N % mesh.size == 0 (pad with -inf-normed rows
-    if needed — caller's responsibility for exactness at the tail).
+    Any N: the corpus is zero-padded to a mesh multiple internally and the
+    pad rows are masked to -inf before the merge, so results are exact.
     """
     axis = mesh.axis_names[0]
-    n_local = corpus_embeds.shape[0] // mesh.size
-    topk = min(topk, n_local)
+    N = corpus_embeds.shape[0]
+    c = _pad_rows(np.asarray(corpus_embeds, dtype=np.float32), mesh.size)
+    n_local = c.shape[0] // mesh.size
+    topk = min(topk, N)
+    topk_l = min(topk, n_local)
 
     def local_fn(q, c_shard):
         scores = jnp.dot(q, c_shard.T, preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
         base = jax.lax.axis_index(axis) * n_local
-        return _local_topk_merge(scores, base, topk, axis)
+        col = base + jnp.arange(n_local)[None, :]
+        scores = jnp.where(col < N, scores, -jnp.inf)
+        return _local_topk_merge(scores, base, topk_l, axis)
 
     fn = shard_map(local_fn, mesh=mesh,
                    in_specs=(P(), P(axis)),
                    out_specs=(P(), P()), check_vma=False)
     q = jnp.asarray(query_embeds, dtype=jnp.float32)
-    c = jnp.asarray(corpus_embeds, dtype=jnp.float32)
-    s, i = jax.jit(fn)(q, c)
-    return np.asarray(s), np.asarray(i)
+    s, i = jax.jit(fn)(q, jnp.asarray(c))
+    return np.asarray(s)[:, :topk], np.asarray(i)[:, :topk]
 
 
 def sharded_adc_search(
@@ -73,28 +85,33 @@ def sharded_adc_search(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """ADC top-k with the code matrix sharded over the corpus dimension.
 
-    codes: (N, M) with N % mesh.size == 0. Uses the XLA scoring path inside
-    shard_map (portable); on multi-TPU the same merge structure applies to
-    the Pallas kernel.
+    Any N (zero-padded to a mesh multiple, pad rows masked -inf). Uses the
+    XLA scoring path inside shard_map (portable); ShardedPallasADCIndex is
+    the TPU-kernel sibling with the same merge structure.
     """
     from repconc_tpu.index.adc import build_lut, score_codes
 
     axis = mesh.axis_names[0]
-    n_local = codes.shape[0] // mesh.size
-    topk = min(topk, n_local)
+    N = codes.shape[0]
+    codes_p = _pad_rows(np.asarray(codes).astype(np.int32), mesh.size)
+    n_local = codes_p.shape[0] // mesh.size
+    topk = min(topk, N)
+    topk_l = min(topk, n_local)
     lut = build_lut(jnp.asarray(query_embeds, jnp.float32),
                     jnp.asarray(centroids, jnp.float32))
 
     def local_fn(lut_, codes_shard):
-        scores = score_codes(lut_, codes_shard.astype(jnp.int32))
+        scores = score_codes(lut_, codes_shard)
         base = jax.lax.axis_index(axis) * n_local
-        return _local_topk_merge(scores, base, topk, axis)
+        col = base + jnp.arange(n_local)[None, :]
+        scores = jnp.where(col < N, scores, -jnp.inf)
+        return _local_topk_merge(scores, base, topk_l, axis)
 
     fn = shard_map(local_fn, mesh=mesh,
                    in_specs=(P(), P(axis)),
                    out_specs=(P(), P()), check_vma=False)
-    s, i = jax.jit(fn)(lut, jnp.asarray(np.asarray(codes).astype(np.int32)))
-    return np.asarray(s), np.asarray(i)
+    s, i = jax.jit(fn)(lut, jnp.asarray(codes_p))
+    return np.asarray(s)[:, :topk], np.asarray(i)[:, :topk]
 
 
 class ShardedPallasADCIndex:
@@ -174,6 +191,38 @@ def _local_topk_gather_merge(s, i, topk: int, axis_name: str):
     k = min(topk, all_s.shape[1])
     ms, pos = jax.lax.approx_max_k(all_s, k, recall_target=1.0)
     return ms, jnp.take_along_axis(all_i, pos.astype(jnp.int32), axis=1)
+
+
+def sharded_batch_adc_search(
+    mesh: Mesh,
+    query_embeds,
+    codes,
+    centroids,
+    topk: int = 1000,
+    batch_size: int = 1200,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Query-batched corpus-sharded ADC search — the eval CLIs'
+    --data_parallel serving path. On TPU the Pallas kernel scans each shard
+    (ShardedPallasADCIndex); elsewhere the XLA scoring path runs inside the
+    same shard_map merge. Returns (scores, ROW ids)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    searcher = (ShardedPallasADCIndex(mesh, codes, centroids)
+                if on_tpu else None)
+    Q = query_embeds.shape[0]
+    batch_size = min(batch_size, Q)
+    all_s, all_i = [], []
+    for start in range(0, Q, batch_size):
+        qc = np.asarray(query_embeds[start:start + batch_size], np.float32)
+        real = qc.shape[0]
+        if real < batch_size:
+            qc = np.pad(qc, ((0, batch_size - real), (0, 0)))
+        if searcher is not None:
+            s, i = searcher.search(qc, topk=topk)
+        else:
+            s, i = sharded_adc_search(mesh, qc, codes, centroids, topk=topk)
+        all_s.append(s[:real])
+        all_i.append(i[:real])
+    return np.concatenate(all_s, 0), np.concatenate(all_i, 0)
 
 
 def sharded_encode_fn(mesh: Mesh, encode_fn: Callable) -> Callable:

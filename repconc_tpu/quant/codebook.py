@@ -44,6 +44,17 @@ def pairwise_sqdist(embeds: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return dist
 
 
+def round_to_divisor(n: int, chunk: int) -> int:
+    """Largest divisor of n that is <= chunk (>= 1). User-passed chunk sizes
+    are normalized through this in encode/decode/contrastive_loss so a
+    non-dividing value can never silently disable chunking and restore the
+    multi-GB unchunked intermediates at production scale."""
+    chunk = max(1, min(chunk, n))
+    while n % chunk != 0:
+        chunk -= 1
+    return chunk
+
+
 def _auto_m_chunk(B: int, M: int, K: int) -> int:
     """Largest divisor of M keeping one (mc, B, K) fp32 buffer <= ~256 MB.
 
@@ -87,9 +98,8 @@ def encode(
     centroids = jax.lax.stop_gradient(centroids)
     M, K = centroids.shape[0], centroids.shape[1]
     B = embeds.shape[0]
-    mc = _auto_m_chunk(B, M, K) if m_chunk is None else min(m_chunk, M)
+    mc = _auto_m_chunk(B, M, K) if m_chunk is None else round_to_divisor(M, m_chunk)
     if mc < M:
-        assert M % mc == 0, (M, mc)
         x = subvector_view(embeds, M).transpose(1, 0, 2)  # (M, B, dsub)
         xs = x.reshape(M // mc, mc, B, -1)
         cs = centroids.reshape(M // mc, mc, K, -1)
@@ -151,8 +161,8 @@ def decode(codes: jnp.ndarray, centroids: jnp.ndarray,
     keep every chunk's one-hot alive for the backward pass.
     """
     B, M, K = codes.shape[0], centroids.shape[0], centroids.shape[1]
-    bc = _auto_b_chunk(B, M, K) if b_chunk is None else min(b_chunk, B)
-    if bc < B and B % bc == 0:
+    bc = _auto_b_chunk(B, M, K) if b_chunk is None else round_to_divisor(B, b_chunk)
+    if bc < B:
         codes_c = codes.reshape(B // bc, bc, M)
         dec = jax.checkpoint(lambda c: _decode_block(c, centroids))
         out = jax.lax.map(dec, codes_c)

@@ -155,11 +155,13 @@ def contrastive_loss(
     score row, so chunking is exact while bounding the live (B, Bd) score
     buffers — ~3 GB at the production 4096x49k step — to ~128 MB.
     """
+    from repconc_tpu.quant.codebook import round_to_divisor
+
     B, Bd = query_embeds.shape[0], doc_embeds.shape[0]
-    qc = _auto_q_chunk(B, Bd) if q_chunk is None else min(q_chunk, B)
+    qc = _auto_q_chunk(B, Bd) if q_chunk is None else round_to_divisor(B, q_chunk)
     args = (mcq_m, metric_centroid_cos, temperature,
             dynamic_topk_hard_negative)
-    if qc < B and B % qc == 0:
+    if qc < B:
         q_c = query_embeds.reshape(B // qc, qc, -1)
         mask_c = negative_mask.reshape(B // qc, qc, Bd)
         labels_c = jnp.arange(B).reshape(B // qc, qc)

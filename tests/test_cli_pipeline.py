@@ -265,3 +265,97 @@ def test_stage0_dense_pretrain(env):
     a = np.asarray(module.apply({"params": enc_params}, ids, mask))
     b = np.asarray(module.apply({"params": params["encoder"]}, ids, mask))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_data_parallel_eval_parity(env):
+    """--data_parallel eval CLIs (dp-sharded encode + mesh-sharded search,
+    reference: evaluate_repconc.py:121-153) must reproduce the single-device
+    results on the virtual 8-device mesh: same codes, same metrics."""
+    root = env
+    data = root / "data"
+    if not (root / "conc_out" / "final" / "params.msgpack").exists():
+        pytest.skip("needs test_full_pipeline artifacts")
+
+    # dense eval, sharded
+    run_dense_eval.main([
+        "--model_name_or_path", str(root / "dense_model"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--query_path", str(data / "queries.tsv"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--out_corpus_dir", str(root / "dense_dp"),
+        "--out_query_dir", str(root / "dense_dp" / "dev"),
+        "--max_seq_length", "32", "--topk", "50",
+        "--save_corpus_embed", "--data_parallel"])
+    e1 = np.load(root / "dense_out" / "corpus_embeds.npy")
+    e2 = np.load(root / "dense_dp" / "corpus_embeds.npy")
+    np.testing.assert_allclose(e2, e1, rtol=1e-4, atol=1e-5)
+    m1 = json.load(open(root / "dense_out" / "dev" / "metric.json"))
+    m2 = json.load(open(root / "dense_dp" / "dev" / "metric.json"))
+    assert abs(m1["mrr"]["MRR@10"] - m2["mrr"]["MRR@10"]) < 0.02
+
+    # repconc eval (flat ADC), sharded: re-encodes codes over the mesh
+    run_repconc_eval.main([
+        "--model_name_or_path", str(root / "conc_out" / "final"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--query_path", str(data / "queries.tsv"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--out_corpus_dir", str(root / "conc_dp"),
+        "--out_query_dir", str(root / "conc_dp" / "dev"),
+        "--max_seq_length", "32", "--topk", "20", "--data_parallel"])
+    c1 = np.load(root / "conc_eval" / "codes.npy")
+    c2 = np.load(root / "conc_dp" / "codes.npy")
+    np.testing.assert_array_equal(c2, c1)  # argmin codes: exact
+    m1 = json.load(open(root / "conc_eval" / "dev" / "metric.json"))
+    m2 = json.load(open(root / "conc_dp" / "dev" / "metric.json"))
+    assert abs(m1["mrr"]["MRR@10"] - m2["mrr"]["MRR@10"]) < 0.02
+
+
+def test_beir_eval_end_to_end(env, tmp_path):
+    """BEIR-format zero-shot eval through the CLI (recipes/beir_eval.sh
+    flow; reference: examples/evaluate/repconc_eval_beir.sh): jsonl corpus +
+    queries, tsv qrels with header, separate doc/query encoder dirs."""
+    from repconc_tpu.models import repconc_model
+
+    root = env
+    # untrained RepCONC model around the toy encoder (eval only needs a
+    # checkpoint, not a trained one)
+    cfg, params = repconc_model.from_dense_encoder(
+        str(root / "raw_model"), MCQ_M=8, MCQ_K=16,
+        similarity_metric="METRIC_IP", pooling="mean")
+    model_dir = tmp_path / "model"
+    repconc_model.save_pretrained(str(model_dir), cfg, params,
+                                  tokenizer_dir=str(root / "raw_model"))
+
+    beir = tmp_path / "beir"
+    (beir / "qrels").mkdir(parents=True)
+    with open(beir / "corpus.jsonl", "w") as f:
+        for i in range(40):
+            f.write(json.dumps({"_id": f"doc{i}", "title": WORDS[i % 15],
+                                "text": f"{WORDS[i % 15]} {WORDS[15 + i % 10]}"})
+                    + "\n")
+    with open(beir / "queries.jsonl", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"_id": f"bq{i}", "text": WORDS[i % 15]}) + "\n")
+    with open(beir / "qrels" / "test.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        for i in range(10):
+            for j in range(40):
+                if j % 15 == i % 15:
+                    f.write(f"bq{i}\tdoc{j}\t1\n")
+
+    out = tmp_path / "out"
+    run_repconc_eval.main([
+        "--model_name_or_path", str(model_dir),
+        "--corpus_path", str(beir / "corpus.jsonl"),
+        "--query_path", str(beir / "queries.jsonl"),
+        "--qrel_path", str(beir / "qrels" / "test.tsv"),
+        "--out_corpus_dir", str(out),
+        "--out_query_dir", str(out / "test"),
+        "--data_format", "beir",
+        "--max_seq_length", "32", "--topk", "20"])
+    metrics = json.load(open(out / "test" / "metric.json"))
+    assert "MRR@10" in metrics["mrr"]
+    assert (out / "codes.npy").exists()
+    # run.tsv qids/docids round-tripped as BEIR string ids (TREC columns)
+    first = open(out / "test" / "run.tsv").readline().split()
+    assert first[0].startswith("bq") and first[2].startswith("doc"), first

@@ -120,3 +120,51 @@ def test_set_centroids_changes_ranking(built):
     s1, _ = search_xla(index, queries[:4], topk=5, nprobe=4)
     s2, _ = search_xla(index2, queries[:4], topk=5, nprobe=4)
     assert not np.allclose(s1, s2)
+
+
+def test_serve_search_pallas_matches_xla():
+    """serve_search (the eval CLI's serving path) must return the same results
+    through the Pallas kernel (interpret mode on CPU) as through the XLA scan,
+    including the padded final query batch (search_batch does not divide Q).
+
+    Separate index from the module fixture: the kernel needs (gm*K) % 128 == 0
+    (K=32 here; the fixture's K=16 is below the lane minimum)."""
+    from repconc_tpu.index.ivf import serve_search
+
+    rng = np.random.default_rng(7)
+    N, D, M, K = 3000, 32, 4, 32
+    centers = rng.normal(size=(24, D)).astype(np.float32) * 2
+    embeds = (centers[rng.integers(0, 24, N)] +
+              rng.normal(size=(N, D)).astype(np.float32) * 0.3)
+    cent, _ = pq_fit(jnp.asarray(embeds[:1500]), M=M, K=K, iters=10)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
+    index = build_ivf(embeds, codes, cent, nlist=32, kmeans_iters=8)
+    queries = (embeds[rng.integers(0, N, 32)] +
+               rng.normal(size=(32, D)).astype(np.float32) * 0.1)
+
+    s_x, i_x = serve_search(index, queries, topk=10, nprobe=32, mode="xla")
+    s_p, i_p = serve_search(index, queries, topk=10, nprobe=32, mode="pallas",
+                            search_batch=20)  # 32 queries -> 20 + padded 12
+    # the kernel serves with bf16 LUTs: scores agree to bf16 precision
+    np.testing.assert_allclose(s_p, s_x, rtol=5e-3, atol=5e-3)
+    # ids may permute within bf16-indistinguishable tie groups (clustered toy
+    # data quantizes many docs identically): every Pallas hit's TRUE fp32 ADC
+    # score must clear the XLA 10th-best score
+    from repconc_tpu.quant.codebook import decode_gather
+
+    rec = np.asarray(decode_gather(jnp.asarray(codes.astype(np.int32)),
+                                   jnp.asarray(cent)))
+    for q in range(queries.shape[0]):
+        true_s = rec[i_p[q]] @ queries[q]
+        assert (true_s >= s_x[q, -1] - 5e-3 * abs(s_x[q, -1])).all(), q
+
+
+def test_serve_search_auto_on_cpu_is_xla(built):
+    from repconc_tpu.index.ivf import serve_search
+
+    index, _, _, _, queries = built
+    s_a, i_a = serve_search(index, queries, topk=5, nprobe=8, mode="auto")
+    s_x, i_x = serve_search(index, queries, topk=5, nprobe=8, mode="xla")
+    np.testing.assert_array_equal(i_a, i_x)
+    np.testing.assert_allclose(s_a, s_x)

@@ -103,9 +103,10 @@ def test_sharded_pallas_ivf_matches_single(mesh, rng):
     np.testing.assert_allclose(s1[finite], s2[finite], rtol=1e-4, atol=1e-4)
 
 
-def test_sharded_pallas_ivf_overflow_detection(mesh, rng):
+def test_sharded_pallas_ivf_overflow_self_heals(mesh, rng):
     """A deliberately tiny capacity factor must be DETECTED (overflow
-    count > 0 raises), never silently drop pairs."""
+    count > 0) and self-healed by a worst-case-shape retry — results must
+    equal an overflow-free search, never silently drop pairs."""
     from repconc_tpu.index.ivf import build_ivf
     from repconc_tpu.index.kmeans import pq_fit, pq_encode_chunked
     from repconc_tpu.index.pallas_ivf import ShardedPallasIVFIndex
@@ -116,9 +117,15 @@ def test_sharded_pallas_ivf_overflow_detection(mesh, rng):
     cent = np.asarray(cent)
     codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
     index = build_ivf(embeds, codes, cent, nlist=16, kmeans_iters=3)
-    sharded = ShardedPallasIVFIndex(mesh, index, capacity_factor=0.01)
+    tight = ShardedPallasIVFIndex(mesh, index, capacity_factor=0.01)
     # 64 queries x nprobe=16 over 16 cells, 8 devices: each device owns 2
     # cells, each probed by all 64 queries -> 2 tiles/cell = 4 owned tiles,
-    # but T_cap = 0 + nlist_local(2) + 1 = 3 -> one tile overflows
-    with pytest.raises(RuntimeError, match="capacity overflow"):
-        sharded.search(embeds[:64], topk=10, nprobe=16)
+    # but T_cap = 0 + nlist_local(2) + 1 = 3 -> tiles overflow
+    _, _, overflow = tight.search_device(embeds[:64], topk=10, nprobe=16)
+    assert int(overflow) > 0  # the adversarial mix really does overflow
+    s1, i1 = tight.search(embeds[:64], topk=10, nprobe=16)
+    roomy = ShardedPallasIVFIndex(mesh, index, capacity_factor=1.5)
+    s2, i2 = roomy.search(embeds[:64], topk=10, nprobe=16)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-4)
+    for r in range(64):
+        assert set(i1[r].tolist()) == set(i2[r].tolist())

@@ -100,3 +100,37 @@ def test_query_dataset_offsets(tmp_path):
                       index_ids)
     assert ds.qrels[0] == [1]  # dA is at index offset 1
     assert ds.qrels[1] == [0]  # dB at offset 0; dZ not in index -> dropped
+
+
+def test_pallas_retrieval_branch_matches_xla(rng):
+    """The use_pallas_search branch (the one the TPU rehearsal serves with,
+    stage2.make_train_step:95-123) must produce the same training step as the
+    XLA scoring branch — covers the code-padding path (N not a multiple of
+    DOC_TILE) and the QUERY_TILE LUT padding. On CPU the kernel runs in
+    interpret mode automatically."""
+    cfg = RepConcConfig(encoder=TINY_ENC, MCQ_M=4, MCQ_K=32)
+    params = repconc_model.init_params(cfg, jax.random.key(1))
+    N = 300  # deliberately not a multiple of DOC_TILE (128)
+    codes = rng.integers(0, 32, size=(N, 4)).astype(np.uint8)
+    hp_x = Stage2Hparams(dynamic_topk_negative=8, total_steps=1,
+                         use_pallas_search=False)
+    hp_p = Stage2Hparams(dynamic_topk_negative=8, total_steps=1,
+                         use_pallas_search=True)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_query_batch(rng, n_docs=N).items()}
+
+    outs = {}
+    for name, hp in (("xla", hp_x), ("pallas", hp_p)):
+        tx = stage1.make_optimizer(hp.as_stage1(), params)
+        opt_state = tx.init(params)
+        step = jax.jit(make_train_step(cfg, hp, tx, codes))
+        p2, _, metrics, _ = step(dict(params), opt_state, batch,
+                                 jax.random.key(0))
+        outs[name] = (float(metrics["loss"]), np.asarray(p2["centroids"]))
+
+    # bf16 LUT in the kernel vs fp32 XLA scoring: the retrieved top-8 sets
+    # coincide away from ties, so loss and the updated centroids agree to
+    # bf16-level tolerance
+    assert np.isclose(outs["xla"][0], outs["pallas"][0], rtol=2e-2), outs
+    np.testing.assert_allclose(outs["pallas"][1], outs["xla"][1],
+                               rtol=5e-2, atol=5e-4)
