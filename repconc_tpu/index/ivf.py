@@ -112,6 +112,9 @@ class ReconstructionView:
         full = self[slice(None)]
         return full.astype(dtype) if dtype is not None else full
 
+    def __len__(self) -> int:
+        return self.shape[0]
+
 
 def build_ivf_from_codes(codes: np.ndarray, pq_centroids: np.ndarray,
                          **kwargs) -> IVFIndex:

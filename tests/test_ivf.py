@@ -168,3 +168,43 @@ def test_serve_search_auto_on_cpu_is_xla(built):
     s_x, i_x = serve_search(index, queries, topk=5, nprobe=8, mode="xla")
     np.testing.assert_array_equal(i_a, i_x)
     np.testing.assert_allclose(s_a, s_x)
+
+
+def test_serve_search_sharded_matches_single():
+    """serve_search(mesh=...) — the eval CLI's --data_parallel IVF path —
+    must match the single-device Pallas serve on the 8-device mesh."""
+    from repconc_tpu.core.mesh import create_mesh
+    from repconc_tpu.index.ivf import serve_search
+
+    rng = np.random.default_rng(11)
+    N, D, M, K = 1500, 32, 4, 32
+    centers = rng.normal(size=(16, D)).astype(np.float32) * 2
+    embeds = (centers[rng.integers(0, 16, N)] +
+              rng.normal(size=(N, D)).astype(np.float32) * 0.3)
+    cent, _ = pq_fit(jnp.asarray(embeds[:800]), M=M, K=K, iters=8)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
+    index = build_ivf(embeds, codes, cent, nlist=16, kmeans_iters=6)
+    queries = embeds[:16]
+
+    mesh = create_mesh()
+    s1, i1 = serve_search(index, queries, topk=10, nprobe=16, mode="pallas")
+    s2, i2 = serve_search(index, queries, topk=10, nprobe=16, mesh=mesh)
+    np.testing.assert_allclose(s2, s1, rtol=5e-3, atol=5e-3)
+    for q in range(len(queries)):
+        assert set(i2[q].tolist()) == set(i1[q].tolist()), q
+
+
+def test_build_ivf_from_codes_full_probe_exact(built):
+    """build_ivf_from_codes (coarse quantizer trained on PQ reconstructions,
+    the MS MARCO-scale path where the 27GB dense matrix isn't on disk) must
+    still be EXACT at full probe: the partition differs, the result set
+    doesn't."""
+    from repconc_tpu.index.ivf import build_ivf_from_codes
+
+    index0, embeds, codes, cent, queries = built
+    index = build_ivf_from_codes(codes, cent, nlist=32, kmeans_iters=6)
+    assert index.ntotal == len(embeds)
+    s_ivf, i_ivf = search_xla(index, queries, topk=10, nprobe=index.nlist)
+    s_flat, _ = adc_search(queries, codes, cent, topk=10)
+    np.testing.assert_allclose(s_ivf, s_flat, rtol=1e-4, atol=1e-4)
