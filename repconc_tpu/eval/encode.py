@@ -118,21 +118,51 @@ def encode_texts(
     from repconc_tpu.core.profiling import Stopwatch
 
     sw = stopwatch if stopwatch is not None else Stopwatch()
-    for start in range(0, n, batch_size):
-        batch = list(texts[start:start + batch_size])
-        real = len(batch)
-        if real < batch_size:  # static batch shape: pad with copies
-            batch = batch + [batch[-1]] * (batch_size - real)
-        with sw("tokenize"):
-            ids, mask = tokenize_batch(tokenizer, batch, max_seq_length,
-                                       input_text_type)
-            ids, mask = pad_to_bucket(ids, mask, max_seq_length, pad_id)
+
+    # Tokenization runs in a producer thread, overlapped with device compute
+    # (the reference overlaps via DataLoader workers, run_repconc_eval.py
+    # dataloader_num_workers). The HF fast tokenizer (Rust) and the device
+    # dispatch both release the GIL, so one prefetch thread hides most of
+    # the host-side cost; "tokenize" time is accounted inside the producer,
+    # so wall-clock ~ max(tokenize, device_encode) when fully overlapped.
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
+
+    def producer():
+        try:
+            for start in range(0, n, batch_size):
+                batch = list(texts[start:start + batch_size])
+                real = len(batch)
+                if real < batch_size:  # static batch shape: pad with copies
+                    batch = batch + [batch[-1]] * (batch_size - real)
+                with sw("tokenize"):
+                    ids, mask = tokenize_batch(tokenizer, batch,
+                                               max_seq_length, input_text_type)
+                    ids, mask = pad_to_bucket(ids, mask, max_seq_length,
+                                              pad_id)
+                q.put((start, real, ids, mask))
+            q.put(None)
+        except BaseException as e:  # surface tokenizer errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        start, real, ids, mask = item
         with sw("device_encode"):
             res = np.asarray(fn(params, jnp.asarray(ids),
                                 jnp.asarray(mask)))[:real]
         outs.append(res)
         if verbose and (start // batch_size) % 50 == 0:
             logger.info("encoded %d/%d", min(start + batch_size, n), n)
+    t.join()
     if verbose:
         logger.info("encode phase split: %s",
                     {k: round(v, 2) for k, v in sw.totals.items()})
