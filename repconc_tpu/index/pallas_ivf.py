@@ -90,7 +90,8 @@ def _ivf_kernel(gm: int, K: int, lut_ref, codes_ref, out_ref, onehot_ref):
         jnp.int32, (sub, lanes), dimension=1) // gm
     for r in range(R):
         for s0 in range(0, Lpad, sub):
-            sl = min(sub, Lpad - s0)  # short final slice when sub !| Lpad
+            sl = sub  # _tile_geometry guarantees sub | Lpad (Mosaic crashes
+            #           on short final sub-slices — raises there instead)
             codes = codes_ref[r, s0:s0 + sl, :].astype(jnp.int32)  # (sl, M)
             for g in range(G):
                 cols = codes[:, g * gm:(g + 1) * gm]
@@ -126,7 +127,7 @@ def _ivf_kernel_i8(gm: int, K: int, lut_ref, scale_ref, codes_ref, out_ref,
         lut_r = lut_ref[r * QT_G:(r + 1) * QT_G, :]
         scale_r = scale_ref[r * QT_G:(r + 1) * QT_G, :]
         for s0 in range(0, Lpad, sub):
-            sl = min(sub, Lpad - s0)  # short final slice when sub !| Lpad
+            sl = sub  # sub | Lpad guaranteed by _tile_geometry
             codes = codes_ref[r, s0:s0 + sl, :].astype(jnp.int32)
             for g in range(G):
                 cols = codes[:, g * gm:(g + 1) * gm]
