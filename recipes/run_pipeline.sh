@@ -156,6 +156,7 @@ case $STAGE in
     --max_query_len ${MAX_QUERY_LEN:-16} --max_doc_len ${MAX_DOC_LEN:-128} \
     --per_device_train_batch_size ${GLOBAL_BATCH:-4096} \
     --negative "${OUT_ROOT}/hardneg.json" --negative_per_query 11 \
+    --max_positives ${MAX_POSITIVES:-8} \
     --learning_rate 2e-5 --centroid_learning_rate 5e-4 \
     --mse_loss_weight 1e-4 --temperature 1 \
     --sk_epsilon 0.003 --sk_iters 100 \
@@ -190,6 +191,7 @@ case $STAGE in
     --per_device_train_batch_size ${JPQ_BATCH:-128} \
     --learning_rate 5e-6 --centroid_learning_rate 2e-4 \
     --dynamic_topk_negative 200 \
+    --max_positives ${MAX_POSITIVES:-8} \
     --max_steps ${JPQ_STEPS:-4000} \
     --logging_steps 20 --eval_steps 200 --save_steps 200
   ;;
@@ -232,6 +234,7 @@ jpq-train)
     --per_device_train_batch_size ${JPQ_BATCH:-128} \
     --learning_rate 5e-6 --centroid_learning_rate 2e-4 \
     --dynamic_topk_negative 200 \
+    --max_positives ${MAX_POSITIVES:-8} \
     --max_steps ${JPQ_STEPS:-4000} \
     --logging_steps 20 --eval_steps 200 --save_steps 200
   ;;

@@ -41,6 +41,11 @@ def build_parser():
     parser.add_argument("--negative", default="random",
                         help="inbatch | random | path to hard-neg json")
     parser.add_argument("--negative_per_query", type=int, default=1)
+    parser.add_argument("--max_positives", type=int, default=8,
+                        help="padded per-query judged-positives capacity for "
+                             "the device-side false-negative mask; raise to "
+                             "the dataset's max qrels length for exact mask "
+                             "semantics with densely-judged qrels")
     # training
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--per_device_train_batch_size", type=int, default=64,
@@ -86,7 +91,8 @@ def main(argv=None):
         args.qrel_path, args.query_path, args.corpus_path,
         negative=args.negative, negative_per_query=args.negative_per_query,
         sep_token=tokenizer.sep_token or "[SEP]")
-    collator = FinetuneCollator(tokenizer, args.max_query_len, args.max_doc_len)
+    collator = FinetuneCollator(tokenizer, args.max_query_len, args.max_doc_len,
+                            max_positives=args.max_positives)
 
     total_steps = args.max_steps
     if args.num_train_epochs is not None:

@@ -27,6 +27,9 @@ def build_parser():
     parser.add_argument("--valid_qrel_path", default=None)
     parser.add_argument("--valid_query_path", default=None)
     parser.add_argument("--max_query_len", type=int, default=32)
+    parser.add_argument("--max_positives", type=int, default=8,
+                        help="padded judged-positives capacity for the "
+                             "retrieved-positive mask")
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--per_device_train_batch_size", type=int, default=128)
     parser.add_argument("--learning_rate", type=float, default=5e-6)
@@ -65,7 +68,8 @@ def main(argv=None):
     corpus_ids = np.load(os.path.join(args.index_dir, "corpus_ids.npy"))
 
     dataset = QueryDataset(args.qrel_path, args.query_path, corpus_ids)
-    collator = QueryCollator(tokenizer, args.max_query_len)
+    collator = QueryCollator(tokenizer, args.max_query_len,
+                             max_positives=args.max_positives)
 
     total_steps = args.max_steps
     if args.num_train_epochs is not None:
