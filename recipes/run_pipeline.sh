@@ -157,8 +157,8 @@ case $STAGE in
     --per_device_train_batch_size ${GLOBAL_BATCH:-4096} \
     --negative "${OUT_ROOT}/hardneg.json" --negative_per_query 11 \
     --max_positives ${MAX_POSITIVES:-8} \
-    --learning_rate 2e-5 --centroid_learning_rate 5e-4 \
-    --mse_loss_weight 1e-4 --temperature 1 \
+    --learning_rate ${CONC_LR:-2e-5} --centroid_learning_rate ${CONC_CENTROID_LR:-5e-4} \
+    --mse_loss_weight ${MSE_WEIGHT:-1e-4} --temperature ${TEMPERATURE:-1} \
     --sk_epsilon 0.003 --sk_iters 100 \
     --cache_chunk_size ${CACHE_CHUNK:-128} \
     --max_steps ${CONC_STEPS:-2000} \
