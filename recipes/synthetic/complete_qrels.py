@@ -15,9 +15,19 @@ subtopic and beyond). Dev qrels stay sparse — for EVALUATION, sparse
 judgments are consistent across variants and more discriminative (no
 ceiling at MRR~1).
 
+Completing the DEV judgments as well (--splits train,dev.small) makes the
+metrics measure subtopic-level precision: with sparse judgments, quantized
+retrieval must rank 4 judged docs among ~100 textually-near-identical
+same-subtopic docs — impossible at 64x compression regardless of training
+(measured quantized ceiling MRR ~0.1 vs dense 0.73), so every variant
+saturates at the same floor. With complete judgments the top-10 contest is
+subtopic-vs-sibling-subtopic discrimination — precisely the axis the
+OPQ/JPQ/RepCONC quality ladder controls.
+
 Usage:
-  python recipes/synthetic/complete_qrels.py --data_dir <ws>/data
-rewrites qrels.train.tsv in place (original saved as qrels.train.sparse.tsv).
+  python recipes/synthetic/complete_qrels.py --data_dir <ws>/data \
+      [--splits train,dev.small]
+rewrites qrels.<split>.tsv in place (original saved as *.sparse.tsv).
 """
 import argparse
 import os
@@ -28,6 +38,7 @@ from collections import defaultdict
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--splits", default="train")
     args = parser.parse_args()
 
     by_sub = defaultdict(list)
@@ -36,27 +47,28 @@ def main():
             docid, title, _ = line.split("\t", 2)
             by_sub[title.split(" ", 1)[0][:7]].append(docid)  # "subNNNN"
 
-    qrel_path = os.path.join(args.data_dir, "qrels.train.tsv")
-    sparse_path = os.path.join(args.data_dir, "qrels.train.sparse.tsv")
-    if not os.path.exists(sparse_path):
-        shutil.copy(qrel_path, sparse_path)
+    for split in args.splits.split(","):
+        qrel_path = os.path.join(args.data_dir, f"qrels.{split}.tsv")
+        sparse_path = os.path.join(args.data_dir, f"qrels.{split}.sparse.tsv")
+        if not os.path.exists(sparse_path):
+            shutil.copy(qrel_path, sparse_path)
 
-    # query text leads with subtopic words (make_synth_data.py: two sub words
-    # + one topic word); map each train query to its subtopic's full doc list
-    n_q, n_lines = 0, 0
-    with open(os.path.join(args.data_dir, "queries.train.tsv")) as fq, \
-            open(qrel_path, "w") as fo:
-        for line in fq:
-            qid, text = line.rstrip("\n").split("\t", 1)
-            sub_word = text.split(" ", 1)[0]
-            assert sub_word.startswith("sub"), (qid, text)
-            docs = by_sub[sub_word[:7]]  # variant letters a/b/c share the id
-            for d in docs:
-                fo.write(f"{qid} 0 {d} 1\n")
-            n_q += 1
-            n_lines += len(docs)
-    print(f"complete train qrels: {n_q} queries, {n_lines} judgments "
-          f"(sparse original at {sparse_path})")
+        # query text leads with subtopic words (make_synth_data.py: two sub
+        # words + one topic word); map each query to its subtopic's doc list
+        n_q, n_lines = 0, 0
+        with open(os.path.join(args.data_dir, f"queries.{split}.tsv")) as fq, \
+                open(qrel_path, "w") as fo:
+            for line in fq:
+                qid, text = line.rstrip("\n").split("\t", 1)
+                sub_word = text.split(" ", 1)[0]
+                assert sub_word.startswith("sub"), (qid, text)
+                docs = by_sub[sub_word[:7]]  # variant letters share the id
+                for d in docs:
+                    fo.write(f"{qid} 0 {d} 1\n")
+                n_q += 1
+                n_lines += len(docs)
+        print(f"complete {split} qrels: {n_q} queries, {n_lines} judgments "
+              f"(sparse original at {sparse_path})")
 
 
 if __name__ == "__main__":
