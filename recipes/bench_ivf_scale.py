@@ -7,6 +7,11 @@ and generated ON DEVICE (the host tunnel moves ~10 MB/s); throughput
 depends on layout shape, not code values.
 
 Usage: python recipes/bench_ivf_scale.py [--nprobes 16,64,128]
+                                         [--lut_dtype bf16|int8|both]
+
+--lut_dtype both A/B-tests the quantized-LUT serving path (int8 LUT rows +
+int8 one-hot scratch -> MXU s8xs8 contraction) against the default bf16 at
+identical shapes — the roofline probe VERDICT round 2 asked for.
 """
 import argparse
 import os
@@ -23,7 +28,11 @@ def main():
     ap.add_argument("--lpad", type=int, default=2048)
     ap.add_argument("--n_queries", type=int, default=1200)
     ap.add_argument("--topk", type=int, default=1000)
+    ap.add_argument("--lut_dtype", default="bf16",
+                    choices=("bf16", "int8", "both"))
     args = ap.parse_args()
+    lut_dtypes = (["bf16", "int8"] if args.lut_dtype == "both"
+                  else [args.lut_dtype])
 
     import functools
 
@@ -56,29 +65,32 @@ def main():
         T_worst = (args.n_queries * nprobe) // QT_G + nlist + 1
         T_max = min(T_worst, _tile_budget(args.n_queries, nprobe, nlist, 1.35))
 
-        @functools.partial(jax.jit, static_argnames=("nprobe", "T_max"))
+        @functools.partial(jax.jit, static_argnames=("nprobe", "T_max",
+                                                     "lut_dtype"))
         def fused(q, centroids, coarse, cell_codes, cell_ids,
-                  nprobe, T_max):
+                  nprobe, T_max, lut_dtype):
             s, i, ov = _ivf_search_device(
                 q, centroids, coarse, cell_codes, cell_ids,
-                nprobe, args.topk, K, T_max)
+                nprobe, args.topk, K, T_max, lut_dtype)
             return (jnp.sum(s) + i[0, 0].astype(jnp.float32)
                     + ov.astype(jnp.float32) * 1e30)
 
-        def run():
-            return float(fused(queries, centroids, coarse, cell_codes,
-                               cell_ids, nprobe=nprobe, T_max=T_max))
+        for lut_dtype in lut_dtypes:
+            def run():
+                return float(fused(queries, centroids, coarse, cell_codes,
+                                   cell_ids, nprobe=nprobe, T_max=T_max,
+                                   lut_dtype=lut_dtype))
 
-        v = run()  # compile
-        assert abs(v) < 1e29, "tile-capacity overflow"
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run()
-            ts.append(time.perf_counter() - t0)
-        qps = args.n_queries / min(ts)
-        print(f"nprobe={nprobe:4d}: {qps:8.0f} QPS/chip "
-              f"({min(ts)*1e3:.1f} ms/batch incl tunnel)")
+            v = run()  # compile
+            assert abs(v) < 1e29, "tile-capacity overflow"
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run()
+                ts.append(time.perf_counter() - t0)
+            qps = args.n_queries / min(ts)
+            print(f"nprobe={nprobe:4d} lut={lut_dtype}: {qps:8.0f} QPS/chip "
+                  f"({min(ts)*1e3:.1f} ms/batch incl tunnel)")
 
 
 if __name__ == "__main__":
