@@ -37,5 +37,4 @@ python -m repconc_tpu.cli.run_repconc_eval \
     --max_seq_length ${MAX_SEQ_LEN:-512} \
     --topk ${TOPK:-1000} \
     ${DATA_PARALLEL:+--data_parallel} \
-    ${IVF:+--index_type ivf --nlist ${NLIST:-4096} --nprobe ${NPROBE:-64} \
-      --corpus_embed_path "${CORPUS_EMBED_PATH}"}
+    ${IVF:+--index_type ivf --nlist ${NLIST:-4096} --nprobe ${NPROBE:-64}}

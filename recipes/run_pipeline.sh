@@ -174,8 +174,7 @@ case $STAGE in
     --out_corpus_dir "${OUT_ROOT}/m${M}/conc_index" \
     --out_query_dir "${OUT_ROOT}/m${M}/conc_index/dev" \
     --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000 \
-    ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64} \
-      --corpus_embed_path "${OUT_ROOT}/dense/corpus_embeds.npy"}
+    ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64}}
   ;;
 9)
   # reference: single-GPU batch 128 (9_run_jpq_train.sh:10-13)
@@ -216,8 +215,7 @@ opq-eval)
     --out_corpus_dir "${OUT_ROOT}/m${M}/opq_index" \
     --out_query_dir "${OUT_ROOT}/m${M}/opq_index/dev" \
     --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000 \
-    ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64} \
-      --corpus_embed_path "${OUT_ROOT}/dense/corpus_embeds.npy"}
+    ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64}}
   ;;
 jpq-train)
   # JPQ-only: stage-2 on the warmup model + warmup codes (stage-1 skipped);

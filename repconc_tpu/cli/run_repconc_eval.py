@@ -58,9 +58,10 @@ def build_parser():
                              "search with the index sharded over the mesh "
                              "(reference: evaluate_repconc.py:121-153)")
     parser.add_argument("--corpus_embed_path", default=None,
-                        help="rotated corpus embeddings (.npy) for IVF coarse "
-                             "training; required for --index_type ivf unless "
-                             "the IVF index is already cached")
+                        help="DEPRECATED, ignored: the IVF coarse quantizer "
+                             "is always trained on PQ reconstructions so "
+                             "routing stays in the served (post-training) "
+                             "space; accepted for recipe compatibility")
     return parser
 
 
@@ -148,37 +149,29 @@ def main(argv=None):
     # --- search with the QUERY model's centroids (stage-2 swap semantics) ---
     centroids = np.asarray(q_params["centroids"])
     if args.index_type == "ivf":
-        from repconc_tpu.index.ivf import (IVFIndex, build_ivf,
-                                           build_ivf_from_codes, serve_search)
+        from repconc_tpu.index.ivf import (IVFIndex, build_ivf_from_codes,
+                                           serve_search)
 
         ivf_path = os.path.join(args.out_corpus_dir, "ivf_index.npz")
         with sw("build_ivf"):
             if os.path.exists(ivf_path):
                 ivf = IVFIndex.load(args.out_corpus_dir)
-            elif args.corpus_embed_path:
-                # coarse training happens in the ROTATED space (where codes
-                # and query embeddings live); dense corpus_embeds.npy is
-                # pre-rotation
-                d_config, d_params, _ = load_model_and_tokenizer(
-                    doc_dir, args.adapter)
-                rotation = np.asarray(d_params["rotation"])
-                corpus_embeds = np.load(args.corpus_embed_path) @ rotation.T
-                if d_config.similarity_metric == "METRIC_CENTROID_COS":
-                    import jax.numpy as jnp
-
-                    from repconc_tpu.quant.codebook import normalize_subvectors
-
-                    corpus_embeds = np.asarray(normalize_subvectors(
-                        jnp.asarray(corpus_embeds), d_config.MCQ_M))
-                ivf = build_ivf(corpus_embeds, codes, centroids,
-                                nlist=args.nlist)
-                ivf.save(args.out_corpus_dir)
             else:
-                # no dense embeds on disk (MS MARCO scale: the fp32 matrix
-                # is ~27 GB) — train the coarse quantizer on PQ
-                # reconstructions
-                logger.info("building IVF from PQ reconstructions "
-                            "(no --corpus_embed_path)")
+                # The coarse quantizer is ALWAYS trained on (and assigns) PQ
+                # reconstructions decoded from the codes being served: that
+                # is the only space guaranteed consistent with both the ADC
+                # scores and the query embeddings. Building it from a saved
+                # dense corpus_embeds.npy instead is stale whenever the doc
+                # encoder was trained after those embeds were written
+                # (stage-1 moves the doc encoder): queries then probe coarse
+                # centroids living in the pre-training space, which
+                # systematically penalizes exactly the trained variants
+                # (measured: -2 to -4 MRR@10 on the 200k synthetic matrix).
+                if args.corpus_embed_path:
+                    logger.info("--corpus_embed_path is ignored for the IVF "
+                                "coarse build: training on PQ "
+                                "reconstructions keeps routing consistent "
+                                "with the served (post-training) space")
                 ivf = build_ivf_from_codes(codes, centroids, nlist=args.nlist)
                 ivf.save(args.out_corpus_dir)
         ivf.set_centroids(centroids)
