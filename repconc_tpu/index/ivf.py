@@ -185,27 +185,24 @@ def build_ivf(
     M = codes.shape[1]
     cell_codes = np.zeros((nlist, Lpad, M), dtype=np.uint8)
     cell_ids = np.full((nlist, Lpad), -1, dtype=np.int32)
-    cell_fill = np.zeros(nlist, dtype=np.int32)
-    spill_codes, spill_ids = [], []
 
-    order = np.argsort(cells, kind="stable")
+    # Vectorized fill (no per-cell python loop — it costs minutes at
+    # MS MARCO scale with tens of thousands of cells): sort docs by cell,
+    # compute each doc's RANK within its cell from the cell boundaries,
+    # then one fancy-index scatter places every kept doc; ranks >= Lpad
+    # form the spill segment in the same pass.
+    order = np.argsort(cells, kind="stable").astype(np.int32)
     sorted_cells = cells[order]
     boundaries = np.searchsorted(sorted_cells, np.arange(nlist + 1))
-    for c in range(nlist):
-        members = order[boundaries[c]:boundaries[c + 1]]
-        keep = members[:Lpad]
-        cell_codes[c, :len(keep)] = codes[keep]
-        cell_ids[c, :len(keep)] = keep
-        cell_fill[c] = len(keep)
-        overflow = members[Lpad:]
-        if len(overflow):
-            spill_codes.append(codes[overflow])
-            spill_ids.append(overflow)
+    ranks = np.arange(N, dtype=np.int64) - boundaries[sorted_cells]
+    kept = ranks < Lpad
+    cell_codes[sorted_cells[kept], ranks[kept]] = codes[order[kept]]
+    cell_ids[sorted_cells[kept], ranks[kept]] = order[kept]
+    cell_fill = np.minimum(sizes, Lpad).astype(np.int32)
 
-    spill_codes = (np.concatenate(spill_codes, axis=0)
-                   if spill_codes else np.zeros((0, M), dtype=np.uint8))
-    spill_ids = (np.concatenate(spill_ids).astype(np.int32)
-                 if spill_ids else np.zeros((0,), dtype=np.int32))
+    spill_ids = order[~kept]
+    spill_codes = (codes[spill_ids] if len(spill_ids)
+                   else np.zeros((0, M), dtype=np.uint8))
     logger.info("spill segment: %d docs (%.3f%%)", len(spill_ids),
                 100.0 * len(spill_ids) / max(N, 1))
     return IVFIndex(
