@@ -29,8 +29,13 @@ logger = logging.getLogger(__name__)
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--codes_path", required=True)
-    parser.add_argument("--corpus_embed_path", required=True,
-                        help="ROTATED corpus embeddings aligned with codes")
+    parser.add_argument("--corpus_embed_path", default=None,
+                        help="ROTATED corpus embeddings aligned with codes, "
+                             "from the SAME encoder that produced them (a "
+                             "stale pre-training matrix skews coarse "
+                             "routing against trained models); omit to "
+                             "train the coarse quantizer on PQ "
+                             "reconstructions, as run_repconc_eval does")
     parser.add_argument("--query_embed_path", required=True)
     parser.add_argument("--model_name_or_path", required=True,
                         help="RepCONC model dir (for centroids)")
@@ -45,11 +50,11 @@ def main(argv=None):
     setup_logging()
 
     from repconc_tpu.index.adc import adc_search
-    from repconc_tpu.index.ivf import build_ivf, search_xla
+    from repconc_tpu.index.ivf import (build_ivf, build_ivf_from_codes,
+                                       search_xla)
     from repconc_tpu.models import repconc_model
 
     codes = np.load(args.codes_path)
-    corpus_embeds = np.load(args.corpus_embed_path)
     queries = np.load(args.query_embed_path)
     _, params = repconc_model.from_pretrained(args.model_name_or_path)
     centroids = np.asarray(params["centroids"])
@@ -57,8 +62,12 @@ def main(argv=None):
     logger.info("exact baseline (flat ADC) ...")
     _, exact_ids = adc_search(queries, codes, centroids, topk=args.topk)
 
-    index = build_ivf(corpus_embeds, codes, centroids, nlist=args.nlist,
-                      balanced=args.balanced)
+    if args.corpus_embed_path:
+        index = build_ivf(np.load(args.corpus_embed_path), codes, centroids,
+                          nlist=args.nlist, balanced=args.balanced)
+    else:
+        index = build_ivf_from_codes(codes, centroids, nlist=args.nlist,
+                                     balanced=args.balanced)
     searcher = None
     if args.use_pallas:
         from repconc_tpu.index.pallas_ivf import PallasIVFIndex
