@@ -18,7 +18,8 @@ from repconc_tpu.eval import (
     evaluate_run, load_beir_corpus, load_beir_qrels, load_beir_queries,
     load_corpus, load_queries, write_run_tsv,
 )
-from repconc_tpu.eval.encode import encode_corpus, encode_queries
+from repconc_tpu.eval.encode import (clear_encode_cache, encode_corpus,
+                                     encode_queries)
 from repconc_tpu.index.flat import batch_flat_search
 
 logger = logging.getLogger(__name__)
@@ -104,14 +105,18 @@ def main(argv=None):
         corpus_embeds, corpus_ids = np.load(emb_path), np.load(ids_path)
     else:
         corpus = corpus_loader(args.corpus_path)
+        shard_cache = os.path.join(args.out_corpus_dir, "encode_shards")
         corpus_embeds, corpus_ids = encode_corpus(
             corpus, config, params, tokenizer, args.max_seq_length,
             batch_size=args.per_device_eval_batch_size,
-            output="continuous_embedding", mesh=mesh)
+            output="continuous_embedding", mesh=mesh, cache_dir=shard_cache)
         if args.save_corpus_embed:
             os.makedirs(args.out_corpus_dir, exist_ok=True)
             np.save(emb_path, corpus_embeds)
             np.save(ids_path, corpus_ids)
+            clear_encode_cache(shard_cache)
+        # without save_corpus_embed the shards ARE the cache: a rerun
+        # resumes from them (meta.json invalidates on any setting change)
 
     # query embeddings (cached)
     qemb_path = os.path.join(args.out_query_dir, "query_embeds.npy")

@@ -22,7 +22,8 @@ from repconc_tpu.eval import (
     evaluate_run, load_beir_corpus, load_beir_qrels, load_beir_queries,
     load_corpus, load_queries, write_run_tsv,
 )
-from repconc_tpu.eval.encode import encode_corpus, encode_queries
+from repconc_tpu.eval.encode import (clear_encode_cache, encode_corpus,
+                                     encode_queries)
 from repconc_tpu.index.adc import batch_adc_search
 
 logger = logging.getLogger(__name__)
@@ -111,14 +112,16 @@ def main(argv=None):
                 corpus = load_corpus(args.corpus_path, tokenizer.sep_token)
             else:
                 corpus = load_beir_corpus(args.corpus_path)
+        shard_cache = os.path.join(args.out_corpus_dir, "encode_shards")
         with sw("encode_corpus"):
             codes, corpus_ids = encode_corpus(
                 corpus, config, params, tokenizer, args.max_seq_length,
                 batch_size=args.per_device_eval_batch_size, output="code",
-                mesh=mesh, stopwatch=sw)
+                mesh=mesh, stopwatch=sw, cache_dir=shard_cache)
         os.makedirs(args.out_corpus_dir, exist_ok=True)
         np.save(codes_path, codes)
         np.save(cids_path, corpus_ids)
+        clear_encode_cache(shard_cache)
 
     # --- query embeddings (cached) ---
     qemb_path = os.path.join(args.out_query_dir, "codes.npy")  # reference name

@@ -14,8 +14,10 @@ hook, finetune_repconc.py:68-69, preserved as the API contract).
 from __future__ import annotations
 
 import inspect
+import json
 import logging
-from typing import Any, Dict, Tuple
+import os
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +79,24 @@ def _encode_fn(config: RepConcConfig, output: str, mesh=None):
     return jax.jit(fn)
 
 
+def prepare_encoder(config: RepConcConfig, params, output: str, mesh=None):
+    """Build the jitted encode fn ONCE and pin params on device ONCE.
+
+    Returns an opaque `(fn, params_on_device)` pair for encode_texts's
+    `prepared=` argument. Callers that encode in several slices (the
+    shard-resumable corpus loop below) MUST reuse one prepared pair: each
+    `jax.jit` wrapper owns its own compilation cache, so rebuilding the fn
+    per slice re-traces and re-compiles — 60-120 s per shard through this
+    environment's remote-compile tunnel."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+    else:
+        params = jax.tree.map(jnp.asarray, params)
+    return _encode_fn(config, output, mesh=mesh), params
+
+
 def encode_texts(
     texts,
     config: RepConcConfig,
@@ -89,11 +109,14 @@ def encode_texts(
     verbose: bool = False,
     mesh=None,
     stopwatch=None,
+    prepared=None,
 ) -> np.ndarray:
     """Encode a list of texts to codes (uint8) or continuous embeds (fp32).
 
     mesh: shard each encode batch over the mesh's data axis (batch_size is
-    rounded up to a multiple of the mesh size)."""
+    rounded up to a multiple of the mesh size).
+    prepared: `(fn, params)` from prepare_encoder — reuse across calls to
+    avoid per-call re-jit (and per-call param re-pinning)."""
     limit = config.encoder.max_position_embeddings - config.encoder.position_offset
     if max_seq_length > limit:
         logger.warning("max_seq_length %d exceeds the encoder's position table"
@@ -105,13 +128,8 @@ def encode_texts(
     # re-transferred on EVERY call — ~370 MB/batch through this
     # environment's ~10 MB/s host<->device tunnel (measured: 31 docs/s
     # instead of ~3,000 before this line).
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        params = jax.device_put(params, NamedSharding(mesh, P()))
-    else:
-        params = jax.tree.map(jnp.asarray, params)
-    fn = _encode_fn(config, output, mesh=mesh)
+    fn, params = (prepared if prepared is not None
+                  else prepare_encoder(config, params, output, mesh=mesh))
     n = len(texts)
     pad_id = config.encoder.pad_token_id
     outs = []
@@ -180,16 +198,83 @@ def encode_corpus(
     output: str = "code",
     mesh=None,
     stopwatch=None,
+    cache_dir: Optional[str] = None,
+    shard_size: int = 262144,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode a {docid: text} corpus, longest-first
-    (reference: evaluate_repconc.py:138-159). Returns (codes_or_embeds, corpus_ids)."""
+    (reference: evaluate_repconc.py:138-159). Returns (codes_or_embeds, corpus_ids).
+
+    cache_dir: shard-level resume. Encoded output is flushed to
+    `cache_dir/shard_NNNNNN.npy` every `shard_size` docs (atomic rename), so
+    a killed run (worker crash, tunnel death) resumes from the last complete
+    shard instead of re-encoding everything — the reference gets the same
+    property from its Trainer predict caching; at 8.8M docs / ~45 min per
+    encode this is the difference between losing minutes and losing the run.
+    A meta.json (n, output, max_seq_length, shard_size, boundary doc ids)
+    invalidates stale shards when the corpus or encode settings change. The
+    sort above is deterministic, so shard boundaries line up across runs."""
     logger.info("Sorting corpus by document length (longest first)...")
     corpus_ids = np.array(sorted(corpus, key=lambda k: len(corpus[k]), reverse=True))
     texts = [corpus[cid] for cid in corpus_ids]
-    enc = encode_texts(texts, config, params, tokenizer, max_seq_length,
-                       batch_size, output=output, input_text_type="doc",
-                       verbose=True, mesh=mesh, stopwatch=stopwatch)
-    return enc, corpus_ids
+    if cache_dir is None:
+        enc = encode_texts(texts, config, params, tokenizer, max_seq_length,
+                           batch_size, output=output, input_text_type="doc",
+                           verbose=True, mesh=mesh, stopwatch=stopwatch)
+        return enc, corpus_ids
+
+    n = len(texts)
+    meta = {"n": n, "output": output, "max_seq_length": max_seq_length,
+            "shard_size": shard_size, "batch_size": batch_size,
+            "first_id": str(corpus_ids[0]), "last_id": str(corpus_ids[-1])}
+    os.makedirs(cache_dir, exist_ok=True)
+    meta_path = os.path.join(cache_dir, "meta.json")
+    stale = True
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                stale = json.load(f) != meta
+        except (json.JSONDecodeError, OSError):
+            stale = True
+    if stale:
+        for name in os.listdir(cache_dir):
+            if name.startswith("shard_"):
+                os.remove(os.path.join(cache_dir, name))
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
+    prepared = None  # built lazily: an all-cached resume touches no device
+    parts = []
+    for i, start in enumerate(range(0, n, shard_size)):
+        path = os.path.join(cache_dir, f"shard_{i:06d}.npy")
+        if os.path.exists(path):
+            parts.append(np.load(path))
+            continue
+        if prepared is None:
+            prepared = prepare_encoder(config, params, output, mesh=mesh)
+        enc = encode_texts(texts[start:start + shard_size], config, params,
+                           tokenizer, max_seq_length, batch_size,
+                           output=output, input_text_type="doc", verbose=True,
+                           mesh=mesh, stopwatch=stopwatch, prepared=prepared)
+        tmp = os.path.join(cache_dir, f".shard_{i:06d}.tmp.npy")
+        np.save(tmp, enc)
+        os.replace(tmp, path)
+        logger.info("encode shard %d (%d/%d docs) flushed to %s",
+                    i, min(start + shard_size, n), n, path)
+        parts.append(enc)
+    return np.concatenate(parts, axis=0), corpus_ids
+
+
+def clear_encode_cache(cache_dir: Optional[str]) -> None:
+    """Remove a shard-resume cache after the final artifact is safely saved."""
+    if cache_dir is None or not os.path.isdir(cache_dir):
+        return
+    for name in os.listdir(cache_dir):
+        if name.startswith("shard_") or name == "meta.json":
+            os.remove(os.path.join(cache_dir, name))
+    try:
+        os.rmdir(cache_dir)
+    except OSError:
+        pass
 
 
 def encode_queries(
