@@ -31,6 +31,7 @@ rewrites qrels.<split>.tsv in place (original saved as *.sparse.tsv).
 """
 import argparse
 import os
+import re
 import shutil
 from collections import defaultdict
 
@@ -41,11 +42,16 @@ def main():
     parser.add_argument("--splits", default="train")
     args = parser.parse_args()
 
+    # subtopic words are "sub<digits><variant letter>" (make_synth_data.py:89);
+    # the digit run grows past 4 chars for >=10k subtopics, so key on the
+    # full numeric id, not a fixed-width prefix
+    sub_key = re.compile(r"sub\d+")
+
     by_sub = defaultdict(list)
     with open(os.path.join(args.data_dir, "corpus.tsv")) as f:
         for line in f:
             docid, title, _ = line.split("\t", 2)
-            by_sub[title.split(" ", 1)[0][:7]].append(docid)  # "subNNNN"
+            by_sub[sub_key.match(title.split(" ", 1)[0]).group(0)].append(docid)
 
     for split in args.splits.split(","):
         qrel_path = os.path.join(args.data_dir, f"qrels.{split}.tsv")
@@ -62,7 +68,7 @@ def main():
                 qid, text = line.rstrip("\n").split("\t", 1)
                 sub_word = text.split(" ", 1)[0]
                 assert sub_word.startswith("sub"), (qid, text)
-                docs = by_sub[sub_word[:7]]  # variant letters share the id
+                docs = by_sub[sub_key.match(sub_word).group(0)]
                 for d in docs:
                     fo.write(f"{qid} 0 {d} 1\n")
                 n_q += 1

@@ -141,16 +141,21 @@ def main(argv=None):
     os.makedirs(args.out_query_dir, exist_ok=True)
 
     if mesh is not None:
-        from repconc_tpu.parallel.sharded import sharded_flat_search
+        from repconc_tpu.parallel.sharded import ShardedFlatIndex
 
-        import math
+        searcher = ShardedFlatIndex(mesh, corpus_embeds)
+        Q = len(query_ids)
+        batch = min(args.search_batch, Q)
         all_s, all_i = [], []
-        iters = math.ceil(len(query_ids) / args.search_batch)
-        for q_chunk in np.array_split(query_embeds, iters):
-            s, i = sharded_flat_search(mesh, q_chunk, corpus_embeds,
-                                       topk=args.topk)
-            all_s.append(s)
-            all_i.append(corpus_ids[i])
+        # fixed batch, short final chunk padded: one trace/compile total
+        for start in range(0, Q, batch):
+            qc = np.asarray(query_embeds[start:start + batch], np.float32)
+            real = qc.shape[0]
+            if real < batch:
+                qc = np.pad(qc, ((0, batch - real), (0, 0)))
+            s, i = searcher.search(qc, topk=args.topk)
+            all_s.append(s[:real])
+            all_i.append(corpus_ids[i[:real]])
         scores = np.concatenate(all_s, 0)
         topk_ids = np.concatenate(all_i, 0)
     else:

@@ -147,10 +147,22 @@ def encode_texts(
     import threading
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
+    stop = threading.Event()  # consumer died: unblock + end the producer
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def producer():
         try:
             for start in range(0, n, batch_size):
+                if stop.is_set():
+                    return
                 batch = list(texts[start:start + batch_size])
                 real = len(batch)
                 if real < batch_size:  # static batch shape: pad with copies
@@ -160,27 +172,33 @@ def encode_texts(
                                                max_seq_length, input_text_type)
                     ids, mask = pad_to_bucket(ids, mask, max_seq_length,
                                               pad_id)
-                q.put((start, real, ids, mask))
-            q.put(None)
+                if not _put((start, real, ids, mask)):
+                    return
+            _put(None)
         except BaseException as e:  # surface tokenizer errors to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        start, real, ids, mask = item
-        with sw("device_encode"):
-            res = np.asarray(fn(params, jnp.asarray(ids),
-                                jnp.asarray(mask)))[:real]
-        outs.append(res)
-        if verbose and (start // batch_size) % 50 == 0:
-            logger.info("encoded %d/%d", min(start + batch_size, n), n)
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            start, real, ids, mask = item
+            with sw("device_encode"):
+                res = np.asarray(fn(params, jnp.asarray(ids),
+                                    jnp.asarray(mask)))[:real]
+            outs.append(res)
+            if verbose and (start // batch_size) % 50 == 0:
+                logger.info("encoded %d/%d", min(start + batch_size, n), n)
+    finally:
+        # on an encode failure the producer would otherwise block forever
+        # on q.put into the full queue (thread + batches leak per retry)
+        stop.set()
+        t.join(timeout=30)
     if verbose:
         logger.info("encode phase split: %s",
                     {k: round(v, 2) for k, v in sw.totals.items()})
@@ -223,8 +241,12 @@ def encode_corpus(
         return enc, corpus_ids
 
     n = len(texts)
+    # batch_size deliberately NOT in the key: tail batches are padded with
+    # copies and sliced off, so output is batch-size independent — and the
+    # natural recovery from an OOM mid-encode is rerunning with a SMALLER
+    # batch, which must reuse the finished shards, not wipe them.
     meta = {"n": n, "output": output, "max_seq_length": max_seq_length,
-            "shard_size": shard_size, "batch_size": batch_size,
+            "shard_size": shard_size,
             "first_id": str(corpus_ids[0]), "last_id": str(corpus_ids[-1])}
     os.makedirs(cache_dir, exist_ok=True)
     meta_path = os.path.join(cache_dir, "meta.json")
@@ -237,7 +259,7 @@ def encode_corpus(
             stale = True
     if stale:
         for name in os.listdir(cache_dir):
-            if name.startswith("shard_"):
+            if name.startswith("shard_") or name.startswith(".shard_"):
                 os.remove(os.path.join(cache_dir, name))
         with open(meta_path, "w") as f:
             json.dump(meta, f)
@@ -269,7 +291,8 @@ def clear_encode_cache(cache_dir: Optional[str]) -> None:
     if cache_dir is None or not os.path.isdir(cache_dir):
         return
     for name in os.listdir(cache_dir):
-        if name.startswith("shard_") or name == "meta.json":
+        if (name.startswith("shard_") or name.startswith(".shard_")
+                or name == "meta.json"):
             os.remove(os.path.join(cache_dir, name))
     try:
         os.rmdir(cache_dir)

@@ -341,7 +341,15 @@ def serve_search(
     """
     if mode == "auto":
         mode = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    if mesh is None and mode == "xla":
+    if mode == "xla":
+        if mesh is not None:
+            # honor the explicit XLA request: there is no mesh-sharded XLA
+            # IVF scan, and silently serving with interpret-mode Pallas
+            # kernels (the off-TPU fallback) would be orders of magnitude
+            # slower than this single-device path
+            logger.warning(
+                "serve_search: mode='xla' has no mesh-sharded variant; "
+                "searching single-device (encode stays data-parallel)")
         return search_xla(index, query_embeds, topk=topk, nprobe=nprobe)
 
     if mesh is not None:

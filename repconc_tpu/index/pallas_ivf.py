@@ -394,6 +394,7 @@ class ShardedPallasIVFIndex:
         self.coarse = jax.device_put(
             jnp.asarray(index.coarse_centroids), repl)
         self._repl = repl
+        self._fn_cache = {}  # (Q, topk, nprobe, T_cap) -> jitted shard_map
         self.set_centroids(index.centroids)
         self.spill = None
         if len(index.spill_ids):
@@ -416,9 +417,6 @@ class ShardedPallasIVFIndex:
         overflow is a device int32 counting dropped PAIRS (same unit as the
         single-chip path); search() retries at the worst-case shape when it
         is positive."""
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
         q = jnp.asarray(query_embeds, dtype=jnp.float32)
         Q = q.shape[0]
         nprobe = min(nprobe, self.nlist)
@@ -431,6 +429,21 @@ class ShardedPallasIVFIndex:
         else:
             T_cap = (int(P_pairs * capacity_factor) // (W * QT_G)
                      + self.nlist_local + 1)
+        key = (Q, topk, nprobe, T_cap)
+        fn = self._fn_cache.get(key)
+        if fn is None:  # one jit wrapper per config: a fresh wrapper per
+            #             call would recompile every serving batch
+            fn = self._build_search_fn(Q, topk, nprobe, T_cap)
+            self._fn_cache[key] = fn
+        s, ids, overflow = fn(q, self.coarse, self.centroids,
+                              self.cell_codes, self.cell_ids)
+        return s, ids, overflow
+
+    def _build_search_fn(self, Q: int, topk: int, nprobe: int, T_cap: int):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        W = self.mesh.size
         axis, nlist_local, K = self.axis, self.nlist_local, self.K
         gm = _group_size(self.cell_codes.shape[2], K)
 
@@ -500,12 +513,9 @@ class ShardedPallasIVFIndex:
             ids = jnp.take_along_axis(all_i, pos.astype(jnp.int32), axis=1)
             return s, ids, overflow
 
-        fn = shard_map(local_fn, mesh=self.mesh,
-                       in_specs=(P(), P(), P(), P(axis), P(axis)),
-                       out_specs=(P(), P(), P()), check_vma=False)
-        s, ids, overflow = jax.jit(fn)(q, self.coarse, self.centroids,
-                                       self.cell_codes, self.cell_ids)
-        return s, ids, overflow
+        return jax.jit(shard_map(local_fn, mesh=self.mesh,
+                                 in_specs=(P(), P(), P(), P(axis), P(axis)),
+                                 out_specs=(P(), P(), P()), check_vma=False))
 
     def search(self, query_embeds, topk: int = 1000, nprobe: int = 64):
         s, i, overflow = self.search_device(query_embeds, topk, nprobe)

@@ -15,6 +15,7 @@ Here both axes are one SPMD program:
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Tuple
 
 import jax
@@ -24,22 +25,38 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _local_topk_merge(scores_local, base_offsets, topk: int, axis_name: str):
-    """Local (Q, topk) -> global (Q, topk) via all_gather + re-top-k."""
-    s, i = jax.lax.top_k(scores_local, topk)
-    i = i + base_offsets
-    all_s = jax.lax.all_gather(s, axis_name, axis=1, tiled=True)  # (Q, W*topk)
-    all_i = jax.lax.all_gather(i, axis_name, axis=1, tiled=True)
-    ms, pos = jax.lax.top_k(all_s, topk)
-    return ms, jnp.take_along_axis(all_i, pos, axis=1)
-
-
 def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
     pad = (-arr.shape[0]) % multiple
     if pad:
         arr = np.concatenate(
             [arr, np.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)], axis=0)
     return arr
+
+
+@functools.lru_cache(maxsize=32)
+def _flat_search_fn(mesh: Mesh, n_local: int, N: int, topk: int, topk_l: int):
+    """Compiled corpus-sharded flat search, cached on its static config: the
+    per-batch serving loops call the search once per query chunk, and a
+    fresh shard_map+jit wrapper per call would recompile every chunk
+    (60-120 s each through this environment's remote compiler)."""
+    axis = mesh.axis_names[0]
+
+    def local_fn(q, c_shard):
+        scores = jnp.dot(q, c_shard.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        base = jax.lax.axis_index(axis) * n_local
+        col = base + jnp.arange(n_local)[None, :]
+        scores = jnp.where(col < N, scores, -jnp.inf)
+        # local top-k capped by the shard size; the merge re-top-ks the
+        # W*topk_l gathered candidates at the GLOBAL topk (W*topk_l >= topk
+        # whenever topk <= N, so no result column is ever lost)
+        s, i = jax.lax.approx_max_k(scores, topk_l, recall_target=1.0)
+        return _local_topk_gather_merge(s, i.astype(jnp.int32) + base,
+                                        topk, axis)
+
+    return jax.jit(shard_map(local_fn, mesh=mesh,
+                             in_specs=(P(), P(axis)),
+                             out_specs=(P(), P()), check_vma=False))
 
 
 def sharded_flat_search(
@@ -51,29 +68,63 @@ def sharded_flat_search(
     """Exact inner-product search with the corpus sharded over the mesh.
 
     Any N: the corpus is zero-padded to a mesh multiple internally and the
-    pad rows are masked to -inf before the merge, so results are exact.
+    pad rows are masked to -inf before the merge, so results are exact —
+    including topk > N/mesh.size, where the merge widens back to topk.
     """
-    axis = mesh.axis_names[0]
     N = corpus_embeds.shape[0]
     c = _pad_rows(np.asarray(corpus_embeds, dtype=np.float32), mesh.size)
     n_local = c.shape[0] // mesh.size
     topk = min(topk, N)
     topk_l = min(topk, n_local)
+    fn = _flat_search_fn(mesh, n_local, N, topk, topk_l)
+    q = jnp.asarray(query_embeds, dtype=jnp.float32)
+    s, i = fn(q, jnp.asarray(c))
+    return np.asarray(s), np.asarray(i)
 
-    def local_fn(q, c_shard):
-        scores = jnp.dot(q, c_shard.T, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+
+@functools.lru_cache(maxsize=32)
+def _adc_search_fn(mesh: Mesh, n_local: int, N: int, topk: int, topk_l: int):
+    """Compiled corpus-sharded XLA ADC search (see _flat_search_fn on why
+    the wrapper is cached)."""
+    from repconc_tpu.index.adc import score_codes
+
+    axis = mesh.axis_names[0]
+
+    def local_fn(lut_, codes_shard):
+        scores = score_codes(lut_, codes_shard)
         base = jax.lax.axis_index(axis) * n_local
         col = base + jnp.arange(n_local)[None, :]
         scores = jnp.where(col < N, scores, -jnp.inf)
-        return _local_topk_merge(scores, base, topk_l, axis)
+        s, i = jax.lax.approx_max_k(scores, topk_l, recall_target=1.0)
+        return _local_topk_gather_merge(s, i.astype(jnp.int32) + base,
+                                        topk, axis)
 
-    fn = shard_map(local_fn, mesh=mesh,
-                   in_specs=(P(), P(axis)),
-                   out_specs=(P(), P()), check_vma=False)
-    q = jnp.asarray(query_embeds, dtype=jnp.float32)
-    s, i = jax.jit(fn)(q, jnp.asarray(c))
-    return np.asarray(s)[:, :topk], np.asarray(i)[:, :topk]
+    return jax.jit(shard_map(local_fn, mesh=mesh,
+                             in_specs=(P(), P(axis)),
+                             out_specs=(P(), P()), check_vma=False))
+
+
+class ShardedFlatIndex:
+    """Corpus-sharded exact inner-product index: the fp32 embedding matrix
+    is padded once, device_put with the corpus dim sharded over the mesh,
+    and every batch reuses the resident shards + one cached compiled search
+    (sharded_flat_search re-places the corpus per call — fine for one-shot
+    use, pathological inside a per-batch serving loop)."""
+
+    def __init__(self, mesh: Mesh, corpus_embeds):
+        self.mesh = mesh
+        self.N = corpus_embeds.shape[0]
+        c = _pad_rows(np.asarray(corpus_embeds, dtype=np.float32), mesh.size)
+        self.n_local = c.shape[0] // mesh.size
+        self.corpus = jax.device_put(
+            jnp.asarray(c), NamedSharding(mesh, P(mesh.axis_names[0])))
+
+    def search(self, query_embeds, topk: int = 1000):
+        topk = min(topk, self.N)
+        topk_l = min(topk, self.n_local)
+        fn = _flat_search_fn(self.mesh, self.n_local, self.N, topk, topk_l)
+        s, i = fn(jnp.asarray(query_embeds, dtype=jnp.float32), self.corpus)
+        return np.asarray(s), np.asarray(i)
 
 
 def sharded_adc_search(
@@ -85,13 +136,13 @@ def sharded_adc_search(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """ADC top-k with the code matrix sharded over the corpus dimension.
 
-    Any N (zero-padded to a mesh multiple, pad rows masked -inf). Uses the
-    XLA scoring path inside shard_map (portable); ShardedPallasADCIndex is
-    the TPU-kernel sibling with the same merge structure.
+    Any N (zero-padded to a mesh multiple, pad rows masked -inf; topk wider
+    than a shard widens back at the merge). Uses the XLA scoring path inside
+    shard_map (portable); ShardedPallasADCIndex is the TPU-kernel sibling
+    with the same merge structure.
     """
-    from repconc_tpu.index.adc import build_lut, score_codes
+    from repconc_tpu.index.adc import build_lut
 
-    axis = mesh.axis_names[0]
     N = codes.shape[0]
     codes_p = _pad_rows(np.asarray(codes).astype(np.int32), mesh.size)
     n_local = codes_p.shape[0] // mesh.size
@@ -99,19 +150,9 @@ def sharded_adc_search(
     topk_l = min(topk, n_local)
     lut = build_lut(jnp.asarray(query_embeds, jnp.float32),
                     jnp.asarray(centroids, jnp.float32))
-
-    def local_fn(lut_, codes_shard):
-        scores = score_codes(lut_, codes_shard)
-        base = jax.lax.axis_index(axis) * n_local
-        col = base + jnp.arange(n_local)[None, :]
-        scores = jnp.where(col < N, scores, -jnp.inf)
-        return _local_topk_merge(scores, base, topk_l, axis)
-
-    fn = shard_map(local_fn, mesh=mesh,
-                   in_specs=(P(), P(axis)),
-                   out_specs=(P(), P()), check_vma=False)
-    s, i = jax.jit(fn)(lut, jnp.asarray(codes_p))
-    return np.asarray(s)[:, :topk], np.asarray(i)[:, :topk]
+    fn = _adc_search_fn(mesh, n_local, N, topk, topk_l)
+    s, i = fn(lut, jnp.asarray(codes_p))
+    return np.asarray(s), np.asarray(i)
 
 
 class ShardedPallasADCIndex:
@@ -142,6 +183,7 @@ class ShardedPallasADCIndex:
         self.n_local = n_local
         self.codes = jax.device_put(
             jnp.asarray(padded), NamedSharding(mesh, P(self.axis)))
+        self._fn_cache = {}  # (topk_g, topk_l, exact) -> jitted shard_map
         self.set_centroids(centroids)
 
     def set_centroids(self, centroids):
@@ -163,20 +205,26 @@ class ShardedPallasADCIndex:
             lut = jnp.pad(lut, ((0, qpad), (0, 0)))
         topk_g = min(topk, self.N)
         topk_l = min(topk_g, self.n_local)
-        n_local, axis, N = self.n_local, self.axis, self.N
+        key = (topk_g, topk_l, exact)
+        fn = self._fn_cache.get(key)
+        if fn is None:  # one jit wrapper per config: a fresh wrapper per
+            #             call would recompile every serving batch
+            n_local, axis, N = self.n_local, self.axis, self.N
 
-        def local_fn(lut_, codes_shard):
-            d = jax.lax.axis_index(axis)
-            base = d * n_local
-            n_valid = jnp.clip(N - base, 0, n_local)
-            s, i = pallas_adc._search_device(
-                lut_, codes_shard, n_valid, topk_l, self.K, self.chunk, exact)
-            return _local_topk_gather_merge(s, i + base, topk_g, axis)
+            def local_fn(lut_, codes_shard):
+                d = jax.lax.axis_index(axis)
+                base = d * n_local
+                n_valid = jnp.clip(N - base, 0, n_local)
+                s, i = pallas_adc._search_device(
+                    lut_, codes_shard, n_valid, topk_l, self.K, self.chunk,
+                    exact)
+                return _local_topk_gather_merge(s, i + base, topk_g, axis)
 
-        fn = shard_map(local_fn, mesh=self.mesh,
-                       in_specs=(P(), P(axis)), out_specs=(P(), P()),
-                       check_vma=False)
-        s, i = jax.jit(fn)(lut, self.codes)
+            fn = jax.jit(shard_map(local_fn, mesh=self.mesh,
+                                   in_specs=(P(), P(axis)),
+                                   out_specs=(P(), P()), check_vma=False))
+            self._fn_cache[key] = fn
+        s, i = fn(lut, self.codes)
         return s[:Q], i[:Q]
 
     def search(self, query_embeds, topk: int = 1000, exact: bool = True):

@@ -189,10 +189,19 @@ def test_serve_search_sharded_matches_single():
 
     mesh = create_mesh()
     s1, i1 = serve_search(index, queries, topk=10, nprobe=16, mode="pallas")
-    s2, i2 = serve_search(index, queries, topk=10, nprobe=16, mesh=mesh)
+    # mode="pallas" explicitly: off-TPU, auto/xla with a mesh falls back to
+    # the single-device XLA scan (there is no mesh-sharded XLA IVF variant)
+    s2, i2 = serve_search(index, queries, topk=10, nprobe=16, mesh=mesh,
+                          mode="pallas")
     np.testing.assert_allclose(s2, s1, rtol=5e-3, atol=5e-3)
     for q in range(len(queries)):
         assert set(i2[q].tolist()) == set(i1[q].tolist()), q
+    # the fallback itself: honors the XLA request; >=9/10 id overlap with
+    # the Pallas serve (bf16-vs-fp32 scoring can flip a rank-10 near-tie)
+    s3, i3 = serve_search(index, queries, topk=10, nprobe=16, mesh=mesh,
+                          mode="xla")
+    for q in range(len(queries)):
+        assert len(set(i3[q].tolist()) & set(i1[q].tolist())) >= 9, q
 
 
 def test_build_ivf_from_codes_full_probe_exact(built):

@@ -25,6 +25,34 @@ def test_sharded_flat_matches_single(mesh, rng):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_sharded_flat_topk_wider_than_shard(mesh, rng):
+    """topk > N/mesh.size must widen back to min(topk, N) at the merge —
+    regression for silently returning only ceil(N/W) columns (which
+    understates Recall@k for every k above the per-device shard size)."""
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    c = rng.normal(size=(200, 16)).astype(np.float32)  # 25 docs/device
+    s1, i1 = sharded_flat_search(mesh, q, c, topk=100)
+    assert s1.shape == (4, 100) and i1.shape == (4, 100)
+    s2, i2 = flat_search(q, c, topk=100)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+    np.testing.assert_array_equal(i1, i2)
+    # topk > N clamps to N
+    s3, _ = sharded_flat_search(mesh, q, c, topk=1000)
+    assert s3.shape == (4, 200)
+
+
+def test_sharded_adc_topk_wider_than_shard(mesh, rng):
+    M, K, dsub = 4, 16, 8
+    q = rng.normal(size=(3, M * dsub)).astype(np.float32)
+    cent = rng.normal(size=(M, K, dsub)).astype(np.float32)
+    codes = rng.integers(0, K, size=(160, M)).astype(np.uint8)  # 20/device
+    s1, i1 = sharded_adc_search(mesh, q, codes, cent, topk=64)
+    assert s1.shape == (3, 64)
+    s2, i2 = adc_search(q, codes, cent, topk=64)
+    np.testing.assert_allclose(np.sort(s1, 1), np.sort(s2, 1),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_adc_matches_single(mesh, rng):
     M, K, dsub = 4, 16, 8
     q = rng.normal(size=(5, M * dsub)).astype(np.float32)
