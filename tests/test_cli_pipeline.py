@@ -292,6 +292,13 @@ def test_data_parallel_eval_parity(env):
     m1 = json.load(open(root / "dense_out" / "dev" / "metric.json"))
     m2 = json.load(open(root / "dense_dp" / "dev" / "metric.json"))
     assert abs(m1["mrr"]["MRR@10"] - m2["mrr"]["MRR@10"]) < 0.02
+    # full topk width even though topk(50) > N/W (120/8=15): the sharded
+    # merge must widen back to the global topk, not the per-shard k
+    from collections import Counter
+
+    depth = Counter(line.split("\t")[0] for line in
+                    open(root / "dense_dp" / "dev" / "run.tsv"))
+    assert set(depth.values()) == {50}, depth.most_common(3)
 
     # repconc eval (flat ADC), sharded: re-encodes codes over the mesh
     run_repconc_eval.main([
