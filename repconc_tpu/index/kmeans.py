@@ -49,9 +49,10 @@ def lloyd_step(
     x: jnp.ndarray,
     centroids: jnp.ndarray,
     axis_name: Optional[str] = None,
-    split_key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One Lloyd iteration. Returns (new_centroids, mean squared error)."""
+    """One Lloyd iteration. Returns (new_centroids, mean squared error).
+    The empty-cluster split is deterministic (distinct sin-based jitter per
+    empty slot) — no RNG, so the step stays scan/jit-friendly."""
     K = centroids.shape[0]
     codes = assign(x, centroids)
     sums, counts = _accumulate(x, codes, K)
@@ -115,10 +116,16 @@ def kmeans_fit(
     init must be passed in via `kmeans_fit_from` instead (global seeding is
     the caller's job).
     """
+    if axis_name is not None:
+        raise ValueError(
+            "kmeans_fit under an axis_name would run k-means++ seeding on "
+            "each device's LOCAL shard (same key, different x -> divergent "
+            "per-device centroids, silently wrong psum'd Lloyd steps); seed "
+            "globally and call kmeans_fit_from instead")
     if key is None:
         key = jax.random.key(2022)
     init = kmeans_plusplus_init(x, K, key)
-    return kmeans_fit_from(x, init, iters, axis_name)
+    return kmeans_fit_from(x, init, iters)
 
 
 def kmeans_fit_from(
@@ -215,15 +222,21 @@ def pq_encode_chunked(
     """
     N = x.shape[0]
     M = centroids.shape[0]
-
-    @jax.jit
-    def _enc(xc):
-        xs = xc.reshape(xc.shape[0], M, -1).transpose(1, 0, 2)
-        codes = jax.vmap(assign)(xs, centroids)  # (M, n)
-        return codes.T
-
+    cent_dev = jnp.asarray(centroids)
     out = np.empty((N, M), dtype=np.uint8)
     for start in range(0, N, chunk):
         stop = min(start + chunk, N)
-        out[start:stop] = np.asarray(_enc(jnp.asarray(x[start:stop]))).astype(np.uint8)
+        out[start:stop] = np.asarray(
+            _pq_assign(jnp.asarray(x[start:stop]), cent_dev)).astype(np.uint8)
     return out
+
+
+@jax.jit
+def _pq_assign(xc, centroids):
+    """(n, D) x (M, K, dsub) -> (n, M) int32 codes. Module-level jit so
+    repeated pq_encode_chunked calls (warmup loops over corpus slices) hit
+    one compilation cache instead of building a fresh wrapper per call;
+    centroids are an argument, never a captured compile-payload constant."""
+    M = centroids.shape[0]
+    xs = xc.reshape(xc.shape[0], M, -1).transpose(1, 0, 2)
+    return jax.vmap(assign)(xs, centroids).T

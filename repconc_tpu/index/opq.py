@@ -66,8 +66,11 @@ def opq_fit(
     k_rot, k_pq = jax.random.split(key)
     R = random_rotation(D, k_rot)  # applied as x @ R
 
-    # initial PQ fit on rotated data
-    centroids, _ = pq_fit(x @ R, M, K, iters=pq_iters, key=k_pq)
+    # initial PQ fit on rotated data (HIGHEST like every other rotation
+    # here: the default bf16 matmul would seed the codebook from rounded
+    # data and make CPU-vs-TPU warmups diverge from iteration 0)
+    centroids, _ = pq_fit(jnp.dot(x, R, precision=_HIGH), M, K,
+                          iters=pq_iters, key=k_pq)
 
     def body(carry, _):
         R, centroids = carry

@@ -82,7 +82,7 @@ class QDRelDataset:
         qid2offset: Dict[str, int] = {}
         with open(query_path) as f:
             for idx, line in enumerate(f):
-                qid, query = line.split("\t")
+                qid, query = line.split("\t", 1)  # queries may embed tabs
                 qid2offset[qid] = idx
                 self.queries.append(query.strip())
 
@@ -97,19 +97,31 @@ class QDRelDataset:
                 self.corpus.append(text.strip()[:MAX_DOC_CHARS])
 
         self.qrels: Dict[int, List[int]] = {}
+        dropped = 0
         with open(qrel_path) as f:
             for line in f:
                 qid, _, docid, rel = line.split()
+                # a full qrels file against a subsampled corpus/query set is
+                # routine (toy workspaces, BEIR slices): skip unjudgeable
+                # lines instead of KeyError-ing dataset construction
+                if qid not in qid2offset or docid not in docid2offset:
+                    dropped += 1
+                    continue
                 if int(rel) >= rel_threshold:
                     self.qrels.setdefault(qid2offset[qid], []).append(
                         docid2offset[docid])
+        if dropped:
+            logger.warning("qrels: dropped %d lines whose qid/docid is not "
+                           "in the query/corpus TSVs", dropped)
 
         self.negative_per_query = negative_per_query
         if negative not in ("inbatch", "random"):
             neg_map = {}
             for qid, docid_lst in json.load(open(negative)).items():
                 if qid in qid2offset:
-                    neg_map[qid2offset[qid]] = [docid2offset[d] for d in docid_lst]
+                    neg_map[qid2offset[qid]] = [
+                        docid2offset[d] for d in docid_lst
+                        if d in docid2offset]
             self.negative: Any = neg_map
         else:
             self.negative = negative
@@ -169,7 +181,7 @@ class QueryDataset:
         qid2offset: Dict[str, int] = {}
         with open(query_path) as f:
             for idx, line in enumerate(f):
-                qid, query = line.split("\t")
+                qid, query = line.split("\t", 1)
                 qid2offset[qid] = idx
                 self.queries.append(query.strip())
 
@@ -177,6 +189,8 @@ class QueryDataset:
         with open(qrel_path) as f:
             for line in f:
                 qid, _, docid, rel = line.split()
+                if qid not in qid2offset:
+                    continue
                 if int(rel) >= rel_threshold and docid in docid2offset:
                     self.qrels.setdefault(qid2offset[qid], []).append(
                         docid2offset[docid])

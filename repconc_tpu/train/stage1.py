@@ -123,9 +123,15 @@ def encode_chunked(
     with jax.checkpoint, so backward recomputes chunk activations instead of
     storing them (the reference's two-pass GradCache, finetune_repconc.py:26)."""
     B = input_ids.shape[0]
-    if chunk_size <= 0 or B <= chunk_size or B % chunk_size != 0:
+    if chunk_size <= 0 or B <= chunk_size:
         return repconc_model.encode_continuous(
             config, params, input_ids, attention_mask, train, dropout_rng)
+    # a non-dividing chunk must NOT silently disable chunking (the unchunked
+    # bert-base forward at global-batch scale is ~12 GB of activations —
+    # HBM OOM); round down to the nearest divisor instead
+    from repconc_tpu.quant.codebook import round_to_divisor
+
+    chunk_size = round_to_divisor(B, chunk_size)
     nc = B // chunk_size
     ids_c = input_ids.reshape(nc, chunk_size, -1)
     mask_c = attention_mask.reshape(nc, chunk_size, -1)
@@ -217,10 +223,16 @@ def make_quant_health_fn(config: RepConcConfig):
     loops subspaces, finetune_repconc.py:580-599): counts is the (M, K)
     per-subspace code histogram, imbalance |1 - count/expected| is averaged /
     maxed over the full (M, K) grid, and the per-subspace maximum is also
-    returned so a pathology in any single subspace is visible in the logs."""
+    returned so a pathology in any single subspace is visible in the logs.
+
+    Takes the tokenized pos batch and encodes INSIDE the jit: an eager
+    encode_continuous here would dispatch the whole transformer op-by-op
+    through the remote-TPU tunnel at every logging step."""
 
     @jax.jit
-    def fn(params, doc_embeds):
+    def fn(params, input_ids, attention_mask):
+        doc_embeds = repconc_model.encode_continuous(
+            config, params, input_ids, attention_mask)
         out = {}
         for prefix, use_constraint in (("wo_conc", False), ("w_conc", True)):
             codes = codebook.encode(doc_embeds, params["centroids"],
@@ -346,11 +358,10 @@ def train(
         if hp.logging_steps and step % hp.logging_steps == 0:
             m = {k: float(v) for k, v in metrics.items()}
             if hp.quantize:
-                doc_embeds = repconc_model.encode_continuous(
-                    config, params, dev_batch["pos_input_ids"],
-                    dev_batch["pos_attention_mask"])
                 m.update({k: round(float(v), 4)
-                          for k, v in health_fn(params, doc_embeds).items()})
+                          for k, v in health_fn(
+                              params, dev_batch["pos_input_ids"],
+                              dev_batch["pos_attention_mask"]).items()})
             m["step"] = step
             history.append(m)
             log(m)

@@ -73,7 +73,12 @@ class Stage2Hparams:
 
 def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes,
                     mesh=None):
-    """codes: (N, M) frozen doc codes, device-resident (uint8 -> int32).
+    """codes: (N, M) frozen doc codes. Returns (train_step, codes_dev):
+    train_step takes the (padded/cast) device codes as its FIFTH argument —
+    codes must NOT be closure-captured, or they become a compile-time
+    constant embedded in the jit payload (0.4-1.7 GiB at MS MARCO scale;
+    through this environment's remote-compile tunnel that is a ~45-min
+    upload ending in HTTP 413).
 
     With `mesh`, the step is built for a dp-sharded query batch (codes and
     params replicated; XLA partitions the in-step retrieval einsums over the
@@ -102,12 +107,12 @@ def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes,
         npad = _round_up(N, chunk)
         padded = np.zeros((npad, codes.shape[1]), dtype=np.uint8)
         padded[:N] = np.asarray(codes)
-        codes = jnp.asarray(padded)
+        codes_dev = jnp.asarray(padded)
         gm = pallas_adc._group_size(codes.shape[1], config.MCQ_K)
     else:
-        codes = jnp.asarray(np.asarray(codes).astype(np.int32))
+        codes_dev = jnp.asarray(np.asarray(codes).astype(np.int32))
 
-    def retrieve(q_detached, centroids):
+    def retrieve(q_detached, centroids, codes):
         """Top-k dynamic hard negatives; the whole search is gradient-free
         (the reference searches a DETACHED faiss copy, finetune_jpq.py:176)."""
         centroids = jax.lax.stop_gradient(centroids)
@@ -123,9 +128,12 @@ def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes,
             return pids[:B]
         lut = build_lut(q_detached, centroids)
         all_scores = score_codes(lut, codes)  # (B, N)
-        return jax.lax.top_k(all_scores, k)[1]
+        # exact PartialReduce top-k: lax.top_k's full sort at k~200-1000
+        # can wedge the remote compiler for 10+ min (CLAUDE.md)
+        return jax.lax.approx_max_k(
+            all_scores, k, recall_target=1.0)[1].astype(jnp.int32)
 
-    def loss_fn(params, batch, dropout_rng):
+    def loss_fn(params, batch, dropout_rng, codes):
         q_embeds = repconc_model.encode_continuous(
             config, params, batch["query_input_ids"],
             batch["query_attention_mask"], train=True, dropout_rng=dropout_rng)
@@ -133,7 +141,7 @@ def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes,
 
         # dynamic hard negatives: ADC search against the live centroids
         # (reference does a faiss GPU search per step, finetune_jpq.py:176)
-        neg_pids = retrieve(jax.lax.stop_gradient(q_embeds), centroids)
+        neg_pids = retrieve(jax.lax.stop_gradient(q_embeds), centroids, codes)
 
         B = q_embeds.shape[0]
         neg_codes = jnp.take(codes, neg_pids.reshape(-1), axis=0)  # (B*k, M)
@@ -163,9 +171,10 @@ def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes,
         loss = jnp.mean(logz - logits[:, 0])
         return loss, {"loss": loss}
 
-    def train_step(params, opt_state, batch, rng):
+    def train_step(params, opt_state, batch, rng, codes):
         rng, dropout_rng = jax.random.split(rng)
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(params, batch, dropout_rng)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, batch, dropout_rng, codes)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if mcc:
@@ -174,7 +183,7 @@ def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes,
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics, rng
 
-    return train_step
+    return train_step, codes_dev
 
 
 def train(
@@ -209,17 +218,18 @@ def train(
             ckpt_dir, params, opt_state)
         logger.info("resumed from step %d (best %.5f)", start_step, best)
 
-    step_fn = make_train_step(config, hp, tx, codes, mesh=mesh)
+    step_fn, codes_dev = make_train_step(config, hp, tx, codes, mesh=mesh)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("dp"))
         step_fn = jax.jit(step_fn,
-                          in_shardings=(repl, repl, data, repl),
+                          in_shardings=(repl, repl, data, repl, repl),
                           out_shardings=(repl, repl, repl, repl))
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
+        codes_dev = jax.device_put(codes_dev, repl)
     else:
         step_fn = jax.jit(step_fn)
     rng = jax.random.key(hp.seed)
@@ -245,7 +255,8 @@ def train(
         if step >= hp.total_steps:
             break
         dev_batch = {kk: jnp.asarray(v) for kk, v in batch.items()}
-        params, opt_state, metrics, rng = step_fn(params, opt_state, dev_batch, rng)
+        params, opt_state, metrics, rng = step_fn(params, opt_state,
+                                                  dev_batch, rng, codes_dev)
         step += 1
         if hp.logging_steps and step % hp.logging_steps == 0:
             m = {kk: float(v) for kk, v in metrics.items()}

@@ -64,7 +64,12 @@ def warmup_from_embeds(
         stop = min(start + encode_chunk, len(corpus_embeds))
         chunk = corpus_embeds[start:stop] @ rot_np.T
         if config.similarity_metric == METRIC_CENTROID_COS:
-            chunk = np.asarray(codebook.normalize_subvectors(
-                jnp.asarray(chunk), M))
+            # host numpy: an eager jnp round-trip here would ship each
+            # ~200 MB chunk through the ~10 MB/s tunnel TWICE (up for the
+            # normalize, down, then up again inside pq_encode_chunked)
+            sub = chunk.reshape(len(chunk), M, -1)
+            norms = np.maximum(np.linalg.norm(sub, axis=-1, keepdims=True),
+                               1e-12)
+            chunk = (sub / norms).reshape(len(chunk), -1)
         codes[start:stop] = pq_encode_chunked(chunk, centroids, chunk=encode_chunk)
     return params, codes

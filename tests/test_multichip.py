@@ -84,15 +84,17 @@ def test_stage2_sharded_step_matches_single(rng):
     batch = {k: jnp.asarray(v) for k, v in make_query_batch(rng, B=16).items()}
     key = jax.random.key(3)
 
-    step_single = jax.jit(s2.make_train_step(cfg, hp, tx, codes))
-    p1, o1, m1, _ = step_single(params, opt_state, batch, key)
+    sfn, cdev = s2.make_train_step(cfg, hp, tx, codes)
+    step_single = jax.jit(sfn)
+    p1, o1, m1, _ = step_single(params, opt_state, batch, key, cdev)
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
     repl, data = NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
-    step_sharded = jax.jit(s2.make_train_step(cfg, hp, tx, codes, mesh=mesh),
-                           in_shardings=(repl, repl, data, repl),
+    sfn_sh, cdev_sh = s2.make_train_step(cfg, hp, tx, codes, mesh=mesh)
+    step_sharded = jax.jit(sfn_sh,
+                           in_shardings=(repl, repl, data, repl, repl),
                            out_shardings=(repl, repl, repl, repl))
-    p2, o2, m2, _ = step_sharded(params, opt_state, batch, key)
+    p2, o2, m2, _ = step_sharded(params, opt_state, batch, key, cdev_sh)
 
     # loss and gradient norm must agree (same retrieval, same global loss);
     # params are NOT compared element-wise — Adam amplifies O(1e-9)

@@ -165,8 +165,11 @@ def test_centroid_cos_renormalized_after_step(rng):
 def test_quant_health(tiny, rng):
     cfg, params = tiny
     fn = make_quant_health_fn(cfg)
-    embeds = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
-    h = {k: float(v) for k, v in fn(params, embeds).items()}
+    # health fn now takes the tokenized batch (encode runs inside the jit)
+    ids = jnp.asarray(rng.integers(4, cfg.encoder.vocab_size, size=(64, 8)),
+                      dtype=jnp.int32)
+    mask = jnp.ones((64, 8), dtype=jnp.int32)
+    h = {k: float(v) for k, v in fn(params, ids, mask).items()}
     # constraint must balance codes better than plain argmin
     assert h["w_conc_avg_imbalance"] <= h["wo_conc_avg_imbalance"] + 1e-6
     assert h["w_conc_rmse"] >= h["wo_conc_rmse"] - 1e-6

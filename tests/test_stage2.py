@@ -43,13 +43,15 @@ def test_train_step_runs_and_learns(setup, rng):
                        dynamic_topk_negative=8, total_steps=25)
     tx = stage1.make_optimizer(hp.as_stage1(), params)
     opt_state = tx.init(params)
-    step = jax.jit(make_train_step(cfg, hp, tx, codes))
+    step_fn, codes_dev = make_train_step(cfg, hp, tx, codes)
+    step = jax.jit(step_fn)
     batch = {k: jnp.asarray(v) for k, v in make_query_batch(rng).items()}
     key = jax.random.key(0)
     cent0 = np.asarray(params["centroids"]).copy()
     first = None
     for _ in range(25):
-        params, opt_state, metrics, key = step(params, opt_state, batch, key)
+        params, opt_state, metrics, key = step(params, opt_state, batch, key,
+                                               codes_dev)
         if first is None:
             first = float(metrics["loss"])
     last = float(metrics["loss"])
@@ -65,12 +67,13 @@ def test_positive_masking(setup, rng):
     hp = Stage2Hparams(dynamic_topk_negative=64, total_steps=1)  # retrieve ALL
     tx = stage1.make_optimizer(hp.as_stage1(), params)
     opt_state = tx.init(params)
-    step = jax.jit(make_train_step(cfg, hp, tx, codes))
+    step_fn, codes_dev = make_train_step(cfg, hp, tx, codes)
+    step = jax.jit(step_fn)
     batch = make_query_batch(rng)
     # with k = N, every positive IS retrieved; masking must keep loss finite
     # and bounded by log(N) (unmasked CE with duplicate positive can exceed it)
     b = {k: jnp.asarray(v) for k, v in batch.items()}
-    _, _, metrics, _ = step(params, opt_state, b, jax.random.key(0))
+    _, _, metrics, _ = step(params, opt_state, b, jax.random.key(0), codes_dev)
     assert np.isfinite(float(metrics["loss"]))
 
 
@@ -123,9 +126,10 @@ def test_pallas_retrieval_branch_matches_xla(rng):
     for name, hp in (("xla", hp_x), ("pallas", hp_p)):
         tx = stage1.make_optimizer(hp.as_stage1(), params)
         opt_state = tx.init(params)
-        step = jax.jit(make_train_step(cfg, hp, tx, codes))
+        step_fn, codes_dev = make_train_step(cfg, hp, tx, codes)
+        step = jax.jit(step_fn)
         p2, _, metrics, _ = step(dict(params), opt_state, batch,
-                                 jax.random.key(0))
+                                 jax.random.key(0), codes_dev)
         outs[name] = (float(metrics["loss"]), np.asarray(p2["centroids"]))
 
     # bf16 LUT in the kernel vs fp32 XLA scoring: the retrieved top-8 sets
