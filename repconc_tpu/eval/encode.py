@@ -206,6 +206,35 @@ def encode_texts(
     return out.astype(np.uint8) if output == "code" else out.astype(np.float32)
 
 
+def _params_fingerprint(params) -> str:
+    """Cheap, stable model fingerprint: per-leaf (path, shape, sum, sum-of-
+    squares) digested. One vectorized pass over the tree (~100 ms at
+    bert-base) — full byte-hashing 440 MB of weights is not needed to tell
+    checkpoints apart."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for path, leaf in sorted(jax.tree_util.tree_flatten_with_path(params)[0],
+                             key=lambda kv: str(kv[0])):
+        a = np.asarray(leaf)
+        s1 = float(np.sum(a, dtype=np.float64))
+        s2 = float(np.sum(np.square(a, dtype=np.float64)))
+        h.update(f"{path}|{a.shape}|{s1:.6e}|{s2:.6e}".encode())
+    return h.hexdigest()
+
+
+def _corpus_fingerprint(texts) -> str:
+    """Content hash of the (length-sorted) text list — catches any document
+    edit, including ones that keep n and the boundary ids unchanged."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for t in texts:
+        h.update(t.encode("utf-8", "ignore"))
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
 def encode_corpus(
     corpus: Dict[Any, str],
     config: RepConcConfig,
@@ -245,9 +274,15 @@ def encode_corpus(
     # copies and sliced off, so output is batch-size independent — and the
     # natural recovery from an OOM mid-encode is rerunning with a SMALLER
     # batch, which must reuse the finished shards, not wipe them.
+    # params/corpus fingerprints ARE in the key: without them, shards from a
+    # different checkpoint (rerun after retraining into the same out dir) or
+    # an edited corpus would be silently reused — or worse, mixed, half the
+    # corpus encoded by model A and half by model B.
     meta = {"n": n, "output": output, "max_seq_length": max_seq_length,
             "shard_size": shard_size,
-            "first_id": str(corpus_ids[0]), "last_id": str(corpus_ids[-1])}
+            "first_id": str(corpus_ids[0]), "last_id": str(corpus_ids[-1]),
+            "params_fp": _params_fingerprint(params),
+            "corpus_fp": _corpus_fingerprint(texts)}
     os.makedirs(cache_dir, exist_ok=True)
     meta_path = os.path.join(cache_dir, "meta.json")
     stale = True
@@ -265,25 +300,30 @@ def encode_corpus(
             json.dump(meta, f)
 
     prepared = None  # built lazily: an all-cached resume touches no device
-    parts = []
+    out = None       # preallocated on the first shard: holding all shards
+    #                  plus a concatenated copy would double peak host
+    #                  memory (~54 GB transient at 8.8M-doc dense scale)
     for i, start in enumerate(range(0, n, shard_size)):
         path = os.path.join(cache_dir, f"shard_{i:06d}.npy")
         if os.path.exists(path):
-            parts.append(np.load(path))
-            continue
-        if prepared is None:
-            prepared = prepare_encoder(config, params, output, mesh=mesh)
-        enc = encode_texts(texts[start:start + shard_size], config, params,
-                           tokenizer, max_seq_length, batch_size,
-                           output=output, input_text_type="doc", verbose=True,
-                           mesh=mesh, stopwatch=stopwatch, prepared=prepared)
-        tmp = os.path.join(cache_dir, f".shard_{i:06d}.tmp.npy")
-        np.save(tmp, enc)
-        os.replace(tmp, path)
-        logger.info("encode shard %d (%d/%d docs) flushed to %s",
-                    i, min(start + shard_size, n), n, path)
-        parts.append(enc)
-    return np.concatenate(parts, axis=0), corpus_ids
+            enc = np.load(path)
+        else:
+            if prepared is None:
+                prepared = prepare_encoder(config, params, output, mesh=mesh)
+            enc = encode_texts(texts[start:start + shard_size], config,
+                               params, tokenizer, max_seq_length, batch_size,
+                               output=output, input_text_type="doc",
+                               verbose=True, mesh=mesh, stopwatch=stopwatch,
+                               prepared=prepared)
+            tmp = os.path.join(cache_dir, f".shard_{i:06d}.tmp.npy")
+            np.save(tmp, enc)
+            os.replace(tmp, path)
+            logger.info("encode shard %d (%d/%d docs) flushed to %s",
+                        i, min(start + shard_size, n), n, path)
+        if out is None:
+            out = np.empty((n,) + enc.shape[1:], dtype=enc.dtype)
+        out[start:start + len(enc)] = enc
+    return out, corpus_ids
 
 
 def clear_encode_cache(cache_dir: Optional[str]) -> None:

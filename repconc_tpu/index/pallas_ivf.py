@@ -404,8 +404,15 @@ class ShardedPallasIVFIndex:
             self.spill_ids = index.spill_ids
 
     def set_centroids(self, centroids):
-        self.centroids = jax.device_put(
-            jnp.asarray(centroids, dtype=jnp.float32), self._repl)
+        centroids = jnp.asarray(centroids, dtype=jnp.float32)
+        if (getattr(self, "centroids", None) is not None
+                and centroids.shape != self.centroids.shape):
+            # cached search fns bake K/gm (static LUT width, kernel group
+            # permutation) at build time — a codebook of a different shape
+            # would be scored with stale geometry
+            self._fn_cache.clear()
+            self.K = centroids.shape[1]
+        self.centroids = jax.device_put(centroids, self._repl)
         if getattr(self, "spill", None) is not None:
             self.spill.set_centroids(centroids)
 

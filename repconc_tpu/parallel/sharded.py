@@ -187,9 +187,14 @@ class ShardedPallasADCIndex:
         self.set_centroids(centroids)
 
     def set_centroids(self, centroids):
+        centroids = jnp.asarray(centroids, dtype=jnp.float32)
+        if (getattr(self, "centroids", None) is not None
+                and centroids.shape != self.centroids.shape):
+            # cached fns bake K (static LUT width / kernel geometry)
+            self._fn_cache.clear()
+            self.K = centroids.shape[1]
         self.centroids = jax.device_put(
-            jnp.asarray(centroids, dtype=jnp.float32),
-            NamedSharding(self.mesh, P()))
+            centroids, NamedSharding(self.mesh, P()))
 
     def search_device(self, query_embeds, topk: int = 1000, exact: bool = True):
         from repconc_tpu.index import pallas_adc

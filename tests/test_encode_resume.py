@@ -99,6 +99,36 @@ def test_settings_change_invalidates_cache(tiny_model, corpus, tmp_path):
     np.testing.assert_allclose(out, ref, rtol=1e-6)
 
 
+def test_model_or_corpus_change_invalidates_cache(tiny_model, corpus,
+                                                  tmp_path):
+    """Shards from a different checkpoint or an edited corpus must never be
+    reused: n/first_id/last_id can all collide, so the meta key carries
+    params + corpus content fingerprints."""
+    import jax
+
+    config, params, tok = tiny_model
+    cache = str(tmp_path / "shards")
+    kw = dict(max_seq_length=16, batch_size=16,
+              output="continuous_embedding", cache_dir=cache, shard_size=32)
+    encode_corpus(corpus, config, params, tok, **kw)
+    poison = np.full((32, config.encoder.hidden_size), 7.0, np.float32)
+    np.save(os.path.join(cache, "shard_000000.npy"), poison)
+
+    # different model, same corpus/settings -> cache wiped, no poison
+    params2 = jax.tree.map(lambda a: a * 1.01, params)
+    out, _ = encode_corpus(corpus, config, params2, tok, **kw)
+    assert not np.allclose(out[:32], poison)
+
+    # edit ONE middle doc's text keeping its length (n, boundary ids, and
+    # length-sort order all unchanged) -> still invalidated
+    np.save(os.path.join(cache, "shard_000000.npy"), poison)
+    corpus2 = dict(corpus)
+    mid = sorted(corpus2, key=lambda k: len(corpus2[k]), reverse=True)[50]
+    corpus2[mid] = corpus2[mid][:-1] + ("x" if corpus2[mid][-1] != "x" else "y")
+    out2, _ = encode_corpus(corpus2, config, params2, tok, **kw)
+    assert not np.allclose(out2[:32], poison)
+
+
 def test_clear_encode_cache(tiny_model, corpus, tmp_path):
     config, params, tok = tiny_model
     cache = str(tmp_path / "shards")
