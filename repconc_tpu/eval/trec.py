@@ -18,9 +18,11 @@ reimplementation:
   and taking the reciprocal rank of the first relevant doc, matching the
   reference's `truncate_run` + recip_rank composition (eval_utils.py:136-141).
 
-A C++ accelerated backend (repconc_tpu.native) is used automatically for
-large runs when available; semantics are identical and tested against each
-other.
+A C++ accelerated backend (repconc_tpu.native) is used automatically by
+`evaluate_run` for FILE-path inputs above _NATIVE_MIN_RUN_BYTES when a
+toolchain is available; semantics are identical and tested against each
+other (tests/test_native_metrics.py). Dict inputs always evaluate in
+Python (they are already parsed, and small in practice).
 """
 from __future__ import annotations
 
@@ -30,6 +32,9 @@ from typing import Dict, Mapping, Tuple, Union
 
 QrelsT = Mapping[str, Mapping[str, int]]
 RunT = Mapping[str, Mapping[str, float]]
+
+# file-path evaluate_run calls above this run.tsv size use the C++ backend
+_NATIVE_MIN_RUN_BYTES = 50 * 1024 * 1024
 
 
 def parse_qrels(path: str) -> Dict[str, Dict[str, int]]:
@@ -149,7 +154,29 @@ def evaluate_run(
     "precision": ..., "mrr": {"MRR@k": v}, "perquery": {qid: {...}}},
     values rounded to 5 decimals, averaged over evaluated queries
     (reference: eval_utils.py:144-201).
+
+    File-path inputs above _NATIVE_MIN_RUN_BYTES dispatch to the C++
+    backend (repconc_tpu.native, parity-tested in tests/test_native_metrics
+    .py) — at MS MARCO scale a run.tsv is millions of lines and the Python
+    loop costs minutes; the native result carries an empty "perquery" (the
+    per-query dict would dominate metric.json at that scale anyway).
     """
+    if isinstance(qrel, str) and isinstance(run, str):
+        import os
+
+        try:
+            big = os.path.getsize(run) > _NATIVE_MIN_RUN_BYTES
+        except OSError:
+            big = False
+        if big:
+            from repconc_tpu import native
+
+            mod = native.load()
+            if mod is not None:
+                m = mod.evaluate_files(qrel, run, tuple(k_values),
+                                       tuple(mrr_k_values), relevance_level)
+                m["perquery"] = {}
+                return m
     if isinstance(qrel, str):
         qrel = parse_qrels(qrel)
     if isinstance(run, str):

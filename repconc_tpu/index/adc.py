@@ -58,8 +58,11 @@ def score_codes(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
 def _adc_chunk_topk(lut, codes_chunk, base, topk: int):
     scores = score_codes(lut, codes_chunk)
     k = min(topk, codes_chunk.shape[0])
-    s, i = jax.lax.top_k(scores, k)
-    return s, i + base
+    # exact PartialReduce top-k: lax.top_k's full sort at k~1000 can wedge
+    # the remote compiler for 10+ min (CLAUDE.md); this path IS reachable
+    # on TPU (batch_adc_search uses it for corpora under 20k docs)
+    s, i = jax.lax.approx_max_k(scores, k, recall_target=1.0)
+    return s, i.astype(jnp.int32) + base
 
 
 def adc_search(
@@ -84,7 +87,9 @@ def adc_search(
     best_i = jnp.zeros((q.shape[0], topk), dtype=jnp.int32)
     for start in range(0, N, chunk_size):
         stop = min(start + chunk_size, N)
-        cc = jnp.asarray(np.asarray(codes[start:stop]).astype(np.int32))
+        # ship raw uint8 (score_codes casts on device): widening to int32
+        # on the host would quadruple the bytes through the ~10 MB/s tunnel
+        cc = jnp.asarray(codes[start:stop])
         s, i = _adc_chunk_topk(lut, cc, start, topk)
         if s.shape[1] < topk:
             pad = topk - s.shape[1]

@@ -150,11 +150,14 @@ def quantize_lut_int8(lut_perm: jnp.ndarray, gm: int, K: int):
 def adc_scores_pallas_int8(
     lut_i8: jnp.ndarray,     # (Q, M*K) int8 (quantize_lut_int8 output)
     scales: jnp.ndarray,     # (Q, G) f32
-    codes: jnp.ndarray,      # (Nc, M) int32; Nc % DOC_TILE == 0
+    codes: jnp.ndarray,      # (Nc, M) int32; Nc % DOC_TILE_I8 == 0
     K: int,
 ) -> jnp.ndarray:
     Q, MK = lut_i8.shape
     Nc, M = codes.shape
+    # floor-division grids silently drop a tail tile (unwritten output =
+    # garbage scores that can win the top-k); reject bad shapes instead
+    assert Nc % DOC_TILE_I8 == 0 and Q % QUERY_TILE == 0, (Nc, Q)
     gm = _group_size(M, K)
     G = M // gm
     kernel = functools.partial(_adc_onehot_kernel_i8, gm, K)
@@ -192,6 +195,7 @@ def adc_scores_pallas(
     """Scores (Q, Nc) for one code chunk. Q % QUERY_TILE == 0."""
     Q, MK = lut_perm.shape
     Nc, M = codes.shape
+    assert Nc % DOC_TILE == 0 and Q % QUERY_TILE == 0, (Nc, Q)
     gm = _group_size(M, K)
     kernel = functools.partial(_adc_onehot_kernel, gm, K)
     grid = (Nc // DOC_TILE, Q // QUERY_TILE)  # queries fastest
@@ -268,6 +272,9 @@ class PallasADCIndex:
         codes = np.asarray(codes)
         self.N, self.M = codes.shape
         self.K = centroids.shape[1]
+        # chunk must be a DOC_TILE multiple: the kernel grid floor-divides,
+        # so a ragged chunk would leave an unwritten (garbage) output tail
+        chunk_size = max(DOC_TILE, (chunk_size // DOC_TILE) * DOC_TILE)
         self.chunk = min(chunk_size, _round_up(self.N, DOC_TILE))
         npad = _round_up(self.N, self.chunk)
         padded = np.zeros((npad, self.M), dtype=np.uint8)

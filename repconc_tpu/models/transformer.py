@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from repconc_tpu.core.config import EncoderConfig
 
-ACT = {"gelu": nn.gelu, "relu": nn.relu,
+# HF "gelu" is the EXACT erf GELU; flax nn.gelu defaults to the tanh
+# approximation, so the default must be overridden or every ported
+# BERT/DistilBERT checkpoint (hidden_act="gelu") runs a different
+# activation than the reference in all layers.
+ACT = {"gelu": lambda x: nn.gelu(x, approximate=False), "relu": nn.relu,
        "gelu_new": lambda x: nn.gelu(x, approximate=True)}
 
 

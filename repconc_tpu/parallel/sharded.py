@@ -144,7 +144,9 @@ def sharded_adc_search(
     from repconc_tpu.index.adc import build_lut
 
     N = codes.shape[0]
-    codes_p = _pad_rows(np.asarray(codes).astype(np.int32), mesh.size)
+    # keep uint8 across the host->device transfer (score_codes casts on
+    # device); int32 would quadruple the bytes through the tunnel
+    codes_p = _pad_rows(np.asarray(codes), mesh.size)
     n_local = codes_p.shape[0] // mesh.size
     topk = min(topk, N)
     topk_l = min(topk, n_local)
@@ -175,6 +177,11 @@ class ShardedPallasADCIndex:
         self.N, self.M = codes.shape
         self.K = centroids.shape[1]
         n_local = -(-self.N // W)  # ceil
+        # chunk must be a DOC_TILE multiple (ragged chunks leave an
+        # unwritten garbage tail in the kernel output)
+        chunk_size = max(pallas_adc.DOC_TILE,
+                         (chunk_size // pallas_adc.DOC_TILE)
+                         * pallas_adc.DOC_TILE)
         self.chunk = min(chunk_size,
                          pallas_adc._round_up(n_local, pallas_adc.DOC_TILE))
         n_local = pallas_adc._round_up(n_local, self.chunk)

@@ -3,7 +3,7 @@ import numpy as np
 import pytest
 
 from repconc_tpu import native
-from repconc_tpu.eval.trec import evaluate_run
+from repconc_tpu.eval.trec import evaluate_run, parse_qrels, parse_run
 
 
 @pytest.fixture(scope="module")
@@ -55,3 +55,18 @@ def test_wrapper_fallback(tmp_path, rng):
     qrel_path, run_path = make_files(tmp_path, rng, nq=5)
     m = native.evaluate_files(qrel_path, run_path, (10,), (10,))
     assert "MRR@10" in m["mrr"]
+
+
+def test_evaluate_run_auto_dispatch(native_mod, tmp_path, rng, monkeypatch):
+    """evaluate_run with file paths above the size threshold must route to
+    the native backend (empty perquery marks the native result)."""
+    from repconc_tpu.eval import trec
+
+    qrel_path, run_path = make_files(tmp_path, rng, nq=10)
+    monkeypatch.setattr(trec, "_NATIVE_MIN_RUN_BYTES", 0)
+    got = trec.evaluate_run(qrel_path, run_path)
+    assert got["perquery"] == {}  # native path taken
+    want = evaluate_run(parse_qrels(qrel_path), parse_run(run_path))
+    for group in ("ndcg", "map", "recall", "precision", "mrr"):
+        for key, v in want[group].items():
+            assert abs(got[group][key] - v) < 1e-9, (group, key)
