@@ -31,6 +31,8 @@ pipeline/DMA-bound, not one-hot-compute-bound, at these shapes.
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,14 +44,19 @@ from repconc_tpu.index.ivf import IVFIndex, probe_cells
 from repconc_tpu.index.pallas_adc import (_group_size, _interpret,
                                           permute_lut, quantize_lut_int8)
 
-QT_G = 32  # query slots per work tile (MXU row occupancy vs pair padding)
-
+# Kernel geometry. Env-overridable for offline sweeps
+# (recipes/bench_kernel_sweep.py) — the defaults are the round-2 tuned
+# values; R_TILES=3 and TILE_CHUNK=1024 were measured WORSE (see module
+# docstring / RESULTS.md), QT_G is the remaining untested lever.
+QT_G = int(os.environ.get("REPCONC_IVF_QT_G", "32"))
+#            query slots per work tile (MXU row occupancy vs pair padding)
 
 L_SUB = 512  # list sub-tile: bounds the VMEM one-hot regardless of Lpad
 
 
-R_TILES = 2  # work tiles per grid step (fewer, fatter steps amortize per-step
-#              overhead; bounded by VMEM: onehot scratch + R*QT_G LUT rows)
+R_TILES = int(os.environ.get("REPCONC_IVF_R_TILES", "2"))
+#            work tiles per grid step (fewer, fatter steps amortize per-step
+#            overhead; bounded by VMEM: onehot scratch + R*QT_G LUT rows)
 
 
 def _tile_geometry(Lpad: int) -> tuple[int, int]:
@@ -146,7 +153,8 @@ def _ivf_kernel_i8(gm: int, K: int, lut_ref, scale_ref, codes_ref, out_ref,
             out_ref[r, :, s0:s0 + sl] = acc
 
 
-TILE_CHUNK = 512  # work tiles per lax.map step (bounds the LUT-row gather)
+TILE_CHUNK = int(os.environ.get("REPCONC_IVF_TILE_CHUNK", "512"))
+#            work tiles per lax.map step (bounds the LUT-row gather)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
