@@ -86,8 +86,11 @@ def main(argv=None):
         _, ids = run()
         dt = time.perf_counter() - t0
         recall = float(np.mean([
-            len(set(ids[q]) & set(exact_ids[q])) / args.topk
-            for q in range(len(queries))]))
+            len(set(ids[q]) & exact_q) / max(1, len(exact_q))
+            for q in range(len(queries))
+            # -1 = padding in short candidate sets; the denominator is the
+            # number of REAL exact results (N may be < topk)
+            for exact_q in [set(exact_ids[q]) - {-1}]]))
         row = {"nprobe": nprobe, "qps": round(len(queries) / dt, 2),
                "recall_vs_exact@%d" % args.topk: round(recall, 4)}
         logger.info("%s", row)

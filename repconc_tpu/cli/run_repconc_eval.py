@@ -100,6 +100,12 @@ def main(argv=None):
     sw = Stopwatch()
 
     # --- corpus codes (cached) ---
+    if (os.path.abspath(args.out_corpus_dir)
+            == os.path.abspath(args.out_query_dir)):
+        # both caches are named codes.npy (reference layout): the same dir
+        # would overwrite corpus uint8 codes with fp32 query embeddings and
+        # reload them as "pre-computed corpus codes" on the next run
+        raise SystemExit("--out_corpus_dir and --out_query_dir must differ")
     codes_path = os.path.join(args.out_corpus_dir, "codes.npy")
     cids_path = os.path.join(args.out_corpus_dir, "corpus_ids.npy")
     if os.path.exists(codes_path) and os.path.exists(cids_path):
@@ -157,9 +163,21 @@ def main(argv=None):
 
         ivf_path = os.path.join(args.out_corpus_dir, "ivf_index.npz")
         with sw("build_ivf"):
+            ivf = None
             if os.path.exists(ivf_path):
                 ivf = IVFIndex.load(args.out_corpus_dir)
-            else:
+                # staleness guard: a cached index built at a different
+                # --nlist, or over different codes (re-encoded corpus),
+                # would silently serve wrong results
+                if (ivf.nlist != min(args.nlist, codes.shape[0])
+                        or ivf.ntotal != codes.shape[0]):
+                    logger.warning(
+                        "cached ivf_index.npz is stale (nlist %d vs %d, "
+                        "ntotal %d vs %d docs) — rebuilding",
+                        ivf.nlist, min(args.nlist, codes.shape[0]),
+                        ivf.ntotal, codes.shape[0])
+                    ivf = None
+            if ivf is None:
                 # The coarse quantizer is ALWAYS trained on (and assigns) PQ
                 # reconstructions decoded from the codes being served: that
                 # is the only space guaranteed consistent with both the ADC

@@ -73,8 +73,11 @@ def main(argv=None):
 
     total_steps = args.max_steps
     if args.num_train_epochs is not None:
-        total_steps = int(args.num_train_epochs * (
-            len(dataset) // args.per_device_train_batch_size))
+        # max(1, ...): a dataset smaller than the batch would floor to 0
+        # steps and the run would exit "successfully" having trained nothing
+        steps_per_epoch = max(1, len(dataset)
+                              // args.per_device_train_batch_size)
+        total_steps = max(1, int(args.num_train_epochs * steps_per_epoch))
 
     hp = stage2.Stage2Hparams(
         learning_rate=args.learning_rate,

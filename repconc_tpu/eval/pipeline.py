@@ -83,13 +83,17 @@ def evaluate_dense_model(
     scores, ids = batch_flat_search(
         query_ids, q_embeds, corpus_ids, c_embeds, topk=topk)
     run = run_from_topk(query_ids, scores, ids)
+    return _flat_metrics(qrels, run, k_values, mrr_k_values)
+
+
+def _flat_metrics(qrels, run, k_values, mrr_k_values) -> Dict[str, float]:
+    """Flat {"MRR@10": ...} dict for in-training validation logs."""
     metrics = evaluate_run(qrels, run, k_values=k_values,
                            mrr_k_values=mrr_k_values)
     flat: Dict[str, float] = {}
     for cat, d in metrics.items():
-        if cat == "perquery":
-            continue
-        flat.update(d)
+        if cat != "perquery":
+            flat.update(d)
     return flat
 
 
@@ -111,11 +115,4 @@ def evaluate_repconc_model(
     run, *_ = repconc_retrieval(
         config, params, tokenizer, corpus, queries,
         max_seq_length=max_seq_length, topk=topk, encode_batch=encode_batch)
-    metrics = evaluate_run(qrels, run, k_values=k_values,
-                           mrr_k_values=mrr_k_values)
-    flat: Dict[str, float] = {}
-    for cat, d in metrics.items():
-        if cat == "perquery":
-            continue
-        flat.update(d)
-    return flat
+    return _flat_metrics(qrels, run, k_values, mrr_k_values)

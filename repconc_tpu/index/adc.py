@@ -12,7 +12,6 @@ performance path on TPU.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Tuple
 
@@ -118,13 +117,18 @@ def batch_adc_search(
 
         searcher = PallasADCIndex(codes, centroids)
 
+    from repconc_tpu.index.flat import fixed_query_batches
+
+    k = min(topk, codes.shape[0])
+    if len(query_ids) == 0:
+        return (np.zeros((0, k), np.float32),
+                np.zeros((0, k), corpus_ids.dtype))
     all_scores, all_ids = [], []
-    iterations = math.ceil(len(query_ids) / batch_size)
-    for q_chunk in np.array_split(query_embeds, iterations):
+    for q_chunk, real in fixed_query_batches(query_embeds, batch_size):
         if searcher is not None:
             s, i = searcher.search(q_chunk, topk=topk)
         else:
             s, i = adc_search(q_chunk, codes, centroids, topk)
-        all_scores.append(s)
-        all_ids.append(corpus_ids[i])
+        all_scores.append(s[:real])
+        all_ids.append(corpus_ids[i[:real]])
     return np.concatenate(all_scores, 0), np.concatenate(all_ids, 0)

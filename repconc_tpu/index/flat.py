@@ -7,7 +7,6 @@ MXU stays busy.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Tuple
 
@@ -94,6 +93,21 @@ def flat_search(
     return np.asarray(best_s), np.asarray(best_i)
 
 
+def fixed_query_batches(query_embeds, batch_size: int):
+    """Yield (padded_chunk, n_real) with ONE static batch shape — the final
+    short chunk is zero-padded. np.array_split's up-to-two distinct chunk
+    shapes each cost a separate trace/compile (60-120 s per extra trace
+    through the remote compiler; CLAUDE.md static-shape rule)."""
+    Q = len(query_embeds)
+    b = min(batch_size, Q)
+    for start in range(0, Q, b):
+        qc = np.asarray(query_embeds[start:start + b], dtype=np.float32)
+        real = qc.shape[0]
+        if real < b:
+            qc = np.pad(qc, ((0, b - real), (0, 0)))
+        yield qc, real
+
+
 def batch_flat_search(
     query_ids: np.ndarray,
     query_embeds: np.ndarray,
@@ -109,10 +123,13 @@ def batch_flat_search(
     # host<->device tunnel. Larger corpora keep the streaming path.
     if corpus_embeds.shape[0] * corpus_embeds.shape[1] * 4 <= 6 << 30:
         corpus_embeds = jnp.asarray(corpus_embeds, dtype=jnp.float32)
+    k = min(topk, corpus_embeds.shape[0])
+    if len(query_ids) == 0:
+        return (np.zeros((0, k), np.float32),
+                np.zeros((0, k), corpus_ids.dtype))
     all_scores, all_ids = [], []
-    iterations = math.ceil(len(query_ids) / batch_size)
-    for q_chunk in np.array_split(query_embeds, iterations):
+    for q_chunk, real in fixed_query_batches(query_embeds, batch_size):
         s, i = flat_search(q_chunk, corpus_embeds, topk)
-        all_scores.append(s)
-        all_ids.append(corpus_ids[i])
+        all_scores.append(s[:real])
+        all_ids.append(corpus_ids[i[:real]])
     return np.concatenate(all_scores, 0), np.concatenate(all_ids, 0)

@@ -65,6 +65,19 @@ class IVFIndex:
         """Stage-2 codebook swap (reference: replace_pq_centroids,
         run_repconc_eval.py:123-127) — just replace the array."""
         self.centroids = np.asarray(centroids, dtype=np.float32)
+        self._dev = None  # invalidate the device-resident copy
+
+    def device_arrays(self):
+        """(centroids, coarse, cell_codes, cell_ids) pinned on device ONCE.
+        search_xla is called per query batch; re-uploading the ~200 MB code
+        store per call through the ~10 MB/s tunnel would make any timed
+        XLA-path measurement mostly transfer."""
+        if getattr(self, "_dev", None) is None:
+            self._dev = (jnp.asarray(self.centroids),
+                         jnp.asarray(self.coarse_centroids),
+                         jnp.asarray(self.cell_codes),
+                         jnp.asarray(self.cell_ids))
+        return self._dev
 
     # -- persistence ------------------------------------------------------
     def save(self, out_dir: str) -> None:
@@ -115,6 +128,27 @@ class ReconstructionView:
     def __len__(self) -> int:
         return self.shape[0]
 
+    def decode_device(self, idx) -> jnp.ndarray:
+        """Decode rows and KEEP them on device (no host round-trip): the
+        __getitem__ path pulls fp32 reconstructions to host, which through
+        this environment's ~10 MB/s tunnel turns an 8.8M-doc coarse build
+        into ~27 GB of downloads. Callers that feed the result straight
+        back to a device computation (k-means training) use this."""
+        rows = jnp.asarray(np.asarray(self._codes[idx]).astype(np.int32))
+        return self._decode(rows, self._cent)
+
+
+@jax.jit
+def _decode_assign(codes_u8, pq_cent, coarse):
+    """Fused reconstruction-space coarse assignment: uint8 codes up
+    (~3 MB/chunk), int32 cells down (~256 KB/chunk) — never the (chunk, D)
+    fp32 reconstruction through the host<->device tunnel (which would be
+    ~2x200 MB per chunk, ~54 GB total at MS MARCO scale)."""
+    from repconc_tpu.quant.codebook import decode_gather
+
+    x = decode_gather(codes_u8.astype(jnp.int32), pq_cent)
+    return assign(x, coarse)
+
 
 def build_ivf_from_codes(codes: np.ndarray, pq_centroids: np.ndarray,
                          **kwargs) -> IVFIndex:
@@ -150,7 +184,16 @@ def build_ivf(
 
     N, D = corpus_embeds.shape
     nlist = min(nlist, N)
-    train = subsample_for_training(corpus_embeds, max_train_points, seed)
+    is_view = isinstance(corpus_embeds, ReconstructionView)
+    if is_view and N > max_train_points:
+        # subsample the CODES on host, decode once on device, train there —
+        # the generic path would decode on device, download fp32, and
+        # re-upload for k-means (2x the bytes through the tunnel)
+        rng_sub = np.random.default_rng(seed)
+        idx = np.sort(rng_sub.choice(N, size=max_train_points, replace=False))
+        train = corpus_embeds.decode_device(idx)
+    else:
+        train = subsample_for_training(corpus_embeds, max_train_points, seed)
     logger.info("IVF coarse k-means: nlist=%d on %d train points (balanced=%s)",
                 nlist, len(train), balanced)
     if balanced:
@@ -170,8 +213,13 @@ def build_ivf(
     assign_j = jax.jit(assign)
     for start in range(0, N, assign_chunk):
         stop = min(start + assign_chunk, N)
-        cells[start:stop] = np.asarray(
-            assign_j(jnp.asarray(corpus_embeds[start:stop]), coarse_dev))
+        if is_view:  # fused decode+assign: only codes cross the tunnel
+            cells[start:stop] = np.asarray(_decode_assign(
+                jnp.asarray(corpus_embeds._codes[start:stop]),
+                corpus_embeds._cent, coarse_dev))
+        else:
+            cells[start:stop] = np.asarray(
+                assign_j(jnp.asarray(corpus_embeds[start:stop]), coarse_dev))
 
     sizes = np.bincount(cells, minlength=nlist)
     Lpad = int(np.quantile(sizes, pad_quantile))
@@ -222,8 +270,12 @@ def probe_cells(query_embeds, coarse_centroids, nprobe: int):
 
     approx_max_k at recall 1.0 = exact via the TPU PartialReduce op
     (lax.top_k's sort lowering is ~10x slower here)."""
+    # HIGHEST: the probed-cell RANKING must match the fp32 CPU tests and
+    # the build-time assignment (kmeans.assign) — default bf16 flips
+    # near-tie cells at the nprobe boundary on TPU (CLAUDE.md rule)
     qc = jnp.dot(query_embeds, coarse_centroids.T,
-                 preferred_element_type=jnp.float32)
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     score = qc - 0.5 * jnp.sum(coarse_centroids ** 2, axis=-1)[None, :]
     if nprobe >= score.shape[1]:
         return jnp.broadcast_to(
@@ -282,10 +334,7 @@ def search_xla(
 
     nprobe = min(nprobe, index.nlist)
     q = jnp.asarray(query_embeds, dtype=jnp.float32)
-    cent = jnp.asarray(index.centroids)
-    coarse = jnp.asarray(index.coarse_centroids)
-    cell_codes = jnp.asarray(index.cell_codes)
-    cell_ids = jnp.asarray(index.cell_ids)
+    cent, coarse, cell_codes, cell_ids = index.device_arrays()
 
     all_s, all_i = [], []
     for start in range(0, q.shape[0], query_chunk):
@@ -361,6 +410,8 @@ def serve_search(
 
         searcher = PallasIVFIndex(index)
     Q = query_embeds.shape[0]
+    if Q == 0:
+        return (np.zeros((0, topk), np.float32), np.zeros((0, topk), np.int64))
     search_batch = min(search_batch, Q)
     all_s, all_i = [], []
     for start in range(0, Q, search_batch):
