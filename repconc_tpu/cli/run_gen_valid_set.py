@@ -56,7 +56,11 @@ def sample_corpus_docids(qrel_path: str, corpus_path: str, n_sample: int,
         for line in fh:
             all_ids.append(line.split("\t", 1)[0])
     rng = random.Random(seed)
-    keep.update(rng.sample(all_ids, min(n_sample, len(all_ids))))
+    # sample from the UNJUDGED pool: drawing from all_ids lets judged ids
+    # (and duplicate-id lines) absorb draws, silently shrinking the corpus
+    # below the requested judged + n_sample size
+    pool = sorted(set(all_ids) - keep)
+    keep.update(rng.sample(pool, min(n_sample, len(pool))))
     return keep
 
 
@@ -89,6 +93,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
     setup_logging()
 
+    if not args.input_run_path and args.random_sample <= 0:
+        # validate the mode BEFORE writing: failing after the query/qrel
+        # copies leaves a partial output a resumed recipe could mistake
+        # for a completed stage
+        parser.error("need --input_run_path or --random_sample > 0")
+
     for path in (args.output_corpus_path, args.output_query_path,
                  args.output_qrel_path):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -102,8 +112,6 @@ def main(argv=None):
         keep = sample_corpus_docids(args.input_qrel_path,
                                     args.input_corpus_path,
                                     args.random_sample, seed=args.seed)
-    else:
-        parser.error("need --input_run_path or --random_sample > 0")
     kept = filter_corpus_tsv(args.input_corpus_path, args.output_corpus_path,
                              keep)
     logger.info("validation corpus: wrote %d of %d selected docids to %s",

@@ -87,6 +87,12 @@ def main(argv=None):
     tokenizer = load_adapter_tokenizer(
         args.model_name_or_path, args.adapter or config.encoder.model_type)
 
+    if args.negative == "inbatch" and args.negative_per_query != 0:
+        # inbatch mode carries no explicit negatives (the dataset asserts
+        # negative_per_query == 0); reconcile instead of crashing
+        logger.info("--negative inbatch: forcing --negative_per_query 0 "
+                    "(was %d)", args.negative_per_query)
+        args.negative_per_query = 0
     dataset = QDRelDataset(
         args.qrel_path, args.query_path, args.corpus_path,
         negative=args.negative, negative_per_query=args.negative_per_query,
@@ -134,6 +140,11 @@ def main(argv=None):
 
         mesh = create_mesh()
         logger.info("data-parallel mesh over %d devices", mesh.size)
+        if args.per_device_train_batch_size % mesh.size != 0:
+            raise SystemExit(
+                f"--per_device_train_batch_size is the GLOBAL batch under "
+                f"--data_parallel and must divide by the mesh size "
+                f"({mesh.size}); got {args.per_device_train_batch_size}")
 
     batches = batch_iterator(dataset, collator, args.per_device_train_batch_size,
                              seed=args.seed)

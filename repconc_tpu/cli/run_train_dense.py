@@ -91,6 +91,12 @@ def main(argv=None):
     tokenizer = load_adapter_tokenizer(
         args.model_name_or_path, args.adapter or config.encoder.model_type)
 
+    if args.negative == "inbatch" and args.negative_per_query != 0:
+        # inbatch mode carries no explicit negatives (the dataset asserts
+        # negative_per_query == 0); reconcile instead of crashing
+        logger.info("--negative inbatch: forcing --negative_per_query 0 "
+                    "(was %d)", args.negative_per_query)
+        args.negative_per_query = 0
     dataset = QDRelDataset(
         args.qrel_path, args.query_path, args.corpus_path,
         negative=args.negative, negative_per_query=args.negative_per_query,
@@ -127,6 +133,11 @@ def main(argv=None):
 
         mesh = create_mesh()
         logger.info("data-parallel mesh over %d devices", mesh.size)
+        if args.per_device_train_batch_size % mesh.size != 0:
+            raise SystemExit(
+                f"--per_device_train_batch_size is the GLOBAL batch under "
+                f"--data_parallel and must divide by the mesh size "
+                f"({mesh.size}); got {args.per_device_train_batch_size}")
 
     batches = batch_iterator(dataset, collator, args.per_device_train_batch_size,
                              seed=args.seed)
@@ -142,7 +153,8 @@ def main(argv=None):
     cfg, best_params = repconc_model.from_pretrained(src)
     export_dir = os.path.join(args.output_dir, "export_hf")
     save_hf_checkpoint(export_dir, args.model_name_or_path,
-                       best_params["encoder"], cfg.encoder)
+                       best_params["encoder"], cfg.encoder,
+                       similarity_metric=cfg.similarity_metric)
     logger.info("exported HF checkpoint to %s", export_dir)
 
 

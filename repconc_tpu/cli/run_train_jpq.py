@@ -106,6 +106,11 @@ def main(argv=None):
 
         mesh = create_mesh()
         logger.info("data-parallel mesh over %d devices", mesh.size)
+        if args.per_device_train_batch_size % mesh.size != 0:
+            raise SystemExit(
+                f"--per_device_train_batch_size is the GLOBAL batch under "
+                f"--data_parallel and must divide by the mesh size "
+                f"({mesh.size}); got {args.per_device_train_batch_size}")
     out = stage2.train(config, params, codes, batches, hp, args.output_dir,
                        tokenizer=tokenizer, valid_set=valid_set, mesh=mesh)
     logger.info("finished at step %d (best %.5f)", out["step"], out["best_metric"])

@@ -57,7 +57,11 @@ def main(argv=None):
         similarity_metric=args.similarity_metric, pooling=args.pooling,
         key=jax.random.key(args.seed), adapter=args.adapter)
 
+    # load BOTH inputs up front: a bad --input_corpus_ids_path failing
+    # AFTER the (potentially hours-long) OPQ warmup would leave an index
+    # dir with codes but no corpus_ids that downstream stages choke on
     corpus_embeds = np.load(args.input_corpus_embed_path)
+    corpus_ids = np.load(args.input_corpus_ids_path)
     params, codes = warmup_from_embeds(
         corpus_embeds, config, params,
         max_train_points=args.max_train_points,
@@ -68,7 +72,6 @@ def main(argv=None):
                                   tokenizer_dir=args.model_name_or_path)
     os.makedirs(args.output_index_dir, exist_ok=True)
     np.save(os.path.join(args.output_index_dir, "codes.npy"), codes)
-    corpus_ids = np.load(args.input_corpus_ids_path)
     np.save(os.path.join(args.output_index_dir, "corpus_ids.npy"), corpus_ids)
     np.save(os.path.join(args.output_index_dir, "centroids.npy"),
             np.asarray(params["centroids"]))

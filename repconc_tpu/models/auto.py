@@ -74,17 +74,31 @@ def encoder_config_from_hf(hf: dict, model_type: Optional[str] = None) -> Encode
 
 
 def _load_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
-    st_path = os.path.join(model_dir, "model.safetensors")
-    if os.path.exists(st_path):
+    import glob as glob_mod
+
+    st_paths = sorted(
+        glob_mod.glob(os.path.join(model_dir, "model*.safetensors")))
+    if st_paths:
         from safetensors.numpy import load_file
 
-        return load_file(st_path)
-    pt_path = os.path.join(model_dir, "pytorch_model.bin")
-    if os.path.exists(pt_path):
+        sd = {}
+        for st_path in st_paths:  # single file or HF shard series
+            sd.update(load_file(st_path))
+        return sd
+
+    pt_paths = sorted(
+        glob_mod.glob(os.path.join(model_dir, "pytorch_model*.bin")))
+    if pt_paths:
         import torch
 
-        sd = torch.load(pt_path, map_location="cpu", weights_only=True)
-        return {k: v.numpy() for k, v in sd.items()}
+        sd = {}
+        for pt_path in pt_paths:  # single file or HF shard series
+            sd.update(torch.load(pt_path, map_location="cpu",
+                                 weights_only=True))
+        # .numpy() rejects bf16 tensors (common in modern checkpoints)
+        return {k: (v.float().numpy() if v.dtype == torch.bfloat16
+                    else v.numpy())
+                for k, v in sd.items()}
     raise FileNotFoundError(f"no model weights in {model_dir}")
 
 
@@ -230,7 +244,8 @@ def export_hf_weights(params: Dict[str, Any], cfg: EncoderConfig) -> Dict[str, n
 
 
 def save_hf_checkpoint(output_dir: str, src_model_dir: str,
-                       encoder_params: Dict[str, Any], cfg: EncoderConfig) -> None:
+                       encoder_params: Dict[str, Any], cfg: EncoderConfig,
+                       similarity_metric: Optional[str] = None) -> None:
     """Write an HF-format checkpoint dir: src's config.json + tokenizer files
     plus model.safetensors holding `encoder_params` (exported torch layout)."""
     import shutil
@@ -242,11 +257,23 @@ def save_hf_checkpoint(output_dir: str, src_model_dir: str,
     save_file(sd, os.path.join(output_dir, "model.safetensors"))
     for name in os.listdir(src_model_dir):
         if name in ("model.safetensors", "pytorch_model.bin") or \
-                name.startswith("checkpoint"):
+                name.startswith(("checkpoint", "pytorch_model-",
+                                 "model-")):
             continue
         s = os.path.join(src_model_dir, name)
         if os.path.isfile(s):
             shutil.copy(s, os.path.join(output_dir, name))
+    # stamp the pooling/metric ACTUALLY used (the reference's customize
+    # contract, customize_trained_dense.py:62-63): a verbatim source config
+    # would silently load with the wrong pooling downstream
+    cfg_path = os.path.join(output_dir, "config.json")
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    hf["pooling"] = cfg.pooling
+    if similarity_metric is not None:
+        hf["similarity_metric"] = similarity_metric
+    with open(cfg_path, "w") as f:
+        json.dump(hf, f, indent=2)
 
 
 def load_dense_encoder(

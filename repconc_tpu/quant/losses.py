@@ -103,18 +103,29 @@ def _row_ce(query_embeds, doc_embeds, negative_mask, labels, mcq_m,
                       preferred_element_type=jnp.float32)
     if metric_centroid_cos:
         sims = sims / mcq_m
+    # mask BEFORE temperature scaling: for unnormalized METRIC_IP at small
+    # temperature, sims/temp reaches tens of thousands and an additive
+    # -10000 applied after the division no longer dominates — a masked
+    # judged positive could leak back into the softmax as a negative.
+    # Pre-division the mask is scaled by 1/temp along with everything else.
+    sims = sims - NEG_INF_MASK * negative_mask.astype(sims.dtype)
     if temperature != 1.0:
         sims = sims / temperature
-    sims = sims - NEG_INF_MASK * negative_mask.astype(sims.dtype)
 
     if dynamic_topk_hard_negative is not None and dynamic_topk_hard_negative > 0:
-        # keep only [positive + top-k hardest negatives] per query
+        # keep only [positive + top-k hardest negatives] per query; -inf
+        # (not an additive constant) so no post-temperature magnitude can
+        # leak a dropped column back into the softmax
         neg_sims = jax.lax.stop_gradient(sims)
         col = jnp.arange(Bd)[None, :]
-        neg_sims = jnp.where(col == labels[:, None], -NEG_INF_MASK, neg_sims)
-        kth = jax.lax.top_k(neg_sims, dynamic_topk_hard_negative)[0][:, -1:]
+        neg_sims = jnp.where(col == labels[:, None], -jnp.inf, neg_sims)
+        # exact PartialReduce: lax.top_k's sort at user-set k (hundreds+)
+        # can wedge the remote compiler (CLAUDE.md)
+        kth = jax.lax.approx_max_k(
+            neg_sims, dynamic_topk_hard_negative,
+            recall_target=1.0)[0][:, -1:]
         keep = (neg_sims >= kth) | (col == labels[:, None])
-        sims = sims - NEG_INF_MASK * (~keep).astype(sims.dtype)
+        sims = jnp.where(keep, sims, -jnp.inf)
 
     logz = jax.scipy.special.logsumexp(sims, axis=-1)
     pos = jnp.take_along_axis(sims, labels[:, None], axis=-1)[:, 0]
