@@ -178,6 +178,30 @@ def test_contrastive_loss_basic(rng):
     assert float(loss_masked) < float(loss_conf)
 
 
+def test_mask_dominates_at_small_temperature():
+    """The false-negative mask must hold at production temperatures: with
+    unnormalized METRIC_IP embeddings and temperature 0.02, sims/temp
+    reaches ~1e4, so an additive -10000 applied AFTER the division would
+    let a masked judged positive out-score real negatives. A fully-masked
+    strong confuser must leave the loss as if the confuser were weak."""
+    B, D = 4, 8
+    q = np.eye(B, D, dtype=np.float32) * 20
+    d = np.eye(B, D, dtype=np.float32) * 5   # diagonal positives: sim 100
+    d[1] = q[0]                              # doc 1: sim 400 to query 0
+    mask = jnp.zeros((B, B), dtype=bool).at[0, 1].set(True)
+    loss_masked = contrastive_loss(jnp.asarray(q), jnp.asarray(d), mask,
+                                   mcq_m=4, temperature=0.02)
+    # reference: same geometry with the confuser genuinely absent. Post-
+    # division additive masking gives confuser logit 400/0.02-1e4 = 1e4,
+    # DOMINATING the positive's 5e3 -> loss ~5e3; correct masking ~0.
+    d_clean = d.copy()
+    d_clean[1] = 0.0
+    loss_clean = contrastive_loss(jnp.asarray(q), jnp.asarray(d_clean), mask,
+                                  mcq_m=4, temperature=0.02)
+    assert abs(float(loss_masked) - float(loss_clean)) < 1e-3, (
+        float(loss_masked), float(loss_clean))
+
+
 def test_contrastive_dynamic_topk(rng):
     B, D = 8, 16
     q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
