@@ -1,5 +1,10 @@
 """Pallas cell-grouped IVF-PQ serving — batch search at TPU speed.
 
+Rebuilds the reference's deployed fast GPU scan — faiss IndexIVFPQ with
+precomputed tables behind batch_search (evaluate_repconc.py:101-135,
+:180-206) — as a TPU-native kernel, with a REAL inverted file where the
+reference degenerates to nlist=1 (evaluate_repconc.py:104-110).
+
 faiss's GPU IVFPQ walks posting lists per query; a TPU wants the dual
 schedule: GROUP THE BATCH BY CELL. All (query, cell) probe pairs are
 grouped by cell and padded into work tiles of QT_G query slots; each grid
@@ -41,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from repconc_tpu.index.adc import build_lut
 from repconc_tpu.index.ivf import IVFIndex, probe_cells
-from repconc_tpu.index.pallas_adc import (_group_size, _interpret,
+from repconc_tpu.index.pallas_adc import (_build_onehot,
+                                          _group_size, _interpret,
                                           permute_lut, quantize_lut_int8)
 
 # Kernel geometry. Env-overridable for offline sweeps
@@ -89,24 +95,15 @@ def _ivf_kernel(gm: int, K: int, lut_ref, codes_ref, out_ref, onehot_ref):
     the MXU; the list dimension is sub-tiled so scratch stays (L_SUB, M*K)
     for any Lpad."""
     R, Lpad, M = codes_ref.shape
-    G = M // gm
-    lanes = gm * K
     sub = _tile_geometry(Lpad)[1]
-
-    k_of_lane = jax.lax.broadcasted_iota(
-        jnp.int32, (sub, lanes), dimension=1) // gm
     for r in range(R):
         for s0 in range(0, Lpad, sub):
-            sl = sub  # _tile_geometry guarantees sub | Lpad (Mosaic crashes
-            #           on short final sub-slices — raises there instead)
-            codes = codes_ref[r, s0:s0 + sl, :].astype(jnp.int32)  # (sl, M)
-            for g in range(G):
-                cols = codes[:, g * gm:(g + 1) * gm]
-                expanded = pltpu.repeat(cols, K, axis=1)      # (sl, gm*K)
-                onehot_ref[:sl, g * lanes:(g + 1) * lanes] = (
-                    expanded == k_of_lane[:sl]).astype(jnp.bfloat16)
-            out_ref[r, :, s0:s0 + sl] = jax.lax.dot_general(
-                lut_ref[r * QT_G:(r + 1) * QT_G, :], onehot_ref[:sl],
+            # sub | Lpad guaranteed by _tile_geometry (Mosaic crashes on
+            # short final sub-slices — it raises there instead); one-hot
+            # expansion shared with the brute kernel (_build_onehot)
+            _build_onehot(gm, K, codes_ref[r, s0:s0 + sub, :], onehot_ref)
+            out_ref[r, :, s0:s0 + sub] = jax.lax.dot_general(
+                lut_ref[r * QT_G:(r + 1) * QT_G, :], onehot_ref[:],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -127,30 +124,22 @@ def _ivf_kernel_i8(gm: int, K: int, lut_ref, scale_ref, codes_ref, out_ref,
     G = M // gm
     lanes = gm * K
     sub = _tile_geometry(Lpad)[1]
-
-    k_of_lane = jax.lax.broadcasted_iota(
-        jnp.int32, (sub, lanes), dimension=1) // gm
     for r in range(R):
         lut_r = lut_ref[r * QT_G:(r + 1) * QT_G, :]
         scale_r = scale_ref[r * QT_G:(r + 1) * QT_G, :]
         for s0 in range(0, Lpad, sub):
-            sl = sub  # sub | Lpad guaranteed by _tile_geometry
-            codes = codes_ref[r, s0:s0 + sl, :].astype(jnp.int32)
-            for g in range(G):
-                cols = codes[:, g * gm:(g + 1) * gm]
-                expanded = pltpu.repeat(cols, K, axis=1)      # (sl, gm*K)
-                onehot_ref[:sl, g * lanes:(g + 1) * lanes] = (
-                    expanded == k_of_lane[:sl]).astype(jnp.int8)
-            acc = jnp.zeros((QT_G, sl), dtype=jnp.float32)
+            # sub | Lpad guaranteed by _tile_geometry; shared one-hot build
+            _build_onehot(gm, K, codes_ref[r, s0:s0 + sub, :], onehot_ref)
+            acc = jnp.zeros((QT_G, sub), dtype=jnp.float32)
             for g in range(G):
                 part = jax.lax.dot_general(
                     lut_r[:, g * lanes:(g + 1) * lanes],
-                    onehot_ref[:sl, g * lanes:(g + 1) * lanes],
+                    onehot_ref[:, g * lanes:(g + 1) * lanes],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
                 acc = acc + part.astype(jnp.float32) * scale_r[:, g:g + 1]
-            out_ref[r, :, s0:s0 + sl] = acc
+            out_ref[r, :, s0:s0 + sub] = acc
 
 
 TILE_CHUNK = int(os.environ.get("REPCONC_IVF_TILE_CHUNK", "512"))
@@ -180,7 +169,11 @@ def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int,
     int8_path = scales_z is not None
 
     r_tiles, sub = _tile_geometry(Lpad)
-    tc = min(TILE_CHUNK, ((T + r_tiles - 1) // r_tiles) * r_tiles)
+    # tc MUST be a multiple of r_tiles: grid=(tc // r_tiles,) floor-divides,
+    # and a remainder would leave the last tiles of every chunk unscored
+    # (uninitialized output gathered into candidates with overflow=0)
+    tcap = max(r_tiles, (TILE_CHUNK // r_tiles) * r_tiles)
+    tc = min(tcap, ((T + r_tiles - 1) // r_tiles) * r_tiles)
     Tpad = ((T + tc - 1) // tc) * tc
     work_p = jnp.pad(work_cell, (0, Tpad - T))
     qidx_p = jnp.pad(qidx, ((0, Tpad - T), (0, 0)),
@@ -230,6 +223,20 @@ def _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K: int,
     out = jax.lax.map(chunk_fn, (work_p.reshape(-1, tc),
                                  qidx_p.reshape(-1, tc, QT_G)))
     return out.reshape(Tpad, QT_G, Lpad)[:T]
+
+
+def _merge_spill(s, i, spill, spill_ids, query_embeds, topk: int):
+    """Brute-force the spill segment and merge into the IVF top-k (shared by
+    the single-chip and sharded index classes)."""
+    if spill is None:
+        return s, i
+    s_sp, i_sp = spill.search(query_embeds, topk=min(topk, len(spill_ids)))
+    ids_sp = spill_ids[i_sp]
+    s = np.concatenate([s, s_sp], axis=1)
+    i = np.concatenate([i, ids_sp], axis=1)
+    order = np.argsort(-s, axis=1)[:, :topk]
+    return (np.take_along_axis(s, order, axis=1),
+            np.take_along_axis(i, order, axis=1))
 
 
 def _tile_budget(Q: int, nprobe: int, nlist: int,
@@ -379,7 +386,10 @@ class ShardedPallasIVFIndex:
 
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
-        W = mesh.size
+        # cells are sharded over axis 0 ONLY: on a multi-axis mesh,
+        # mesh.size would make the modulo-ownership partition leave cells
+        # with c % W >= shape[axis0] owned by NO device (silently dropped)
+        W = mesh.shape[self.axis]
         self.capacity_factor = capacity_factor
         self.K = index.centroids.shape[1]
         nlist, Lpad, M = index.cell_codes.shape
@@ -435,7 +445,7 @@ class ShardedPallasIVFIndex:
         q = jnp.asarray(query_embeds, dtype=jnp.float32)
         Q = q.shape[0]
         nprobe = min(nprobe, self.nlist)
-        W = self.mesh.size
+        W = self.mesh.shape[self.axis]
         P_pairs = Q * nprobe
         if capacity_factor == -1.0:
             capacity_factor = self.capacity_factor
@@ -458,7 +468,7 @@ class ShardedPallasIVFIndex:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        W = self.mesh.size
+        W = self.mesh.shape[self.axis]
         axis, nlist_local, K = self.axis, self.nlist_local, self.K
         gm = _group_size(self.cell_codes.shape[2], K)
 
@@ -516,7 +526,11 @@ class ShardedPallasIVFIndex:
                               axis=0).reshape(Q, nprobe, Lpad)
             keep = valid_pq[:, :, None] & (cand_i >= 0)
             cand_s = jnp.where(keep, cand_s, -jnp.inf).reshape(Q, nprobe * Lpad)
-            cand_i = cand_i.reshape(Q, nprobe * Lpad)
+            # non-kept slots carry REAL doc ids from local cell 0 (non-owned
+            # pairs use lc=0): mask to -1 so a query with fewer real
+            # candidates than topk pads with -1 like the single-chip path,
+            # never with spurious duplicate ids
+            cand_i = jnp.where(keep, cand_i, -1).reshape(Q, nprobe * Lpad)
 
             k_l = min(topk, nprobe * Lpad)
             s_l, pos = jax.lax.approx_max_k(cand_s, k_l, recall_target=1.0)
@@ -539,17 +553,9 @@ class ShardedPallasIVFIndex:
             # worst-case tile shape, where overflow is impossible
             s, i, _ = self.search_device(query_embeds, topk, nprobe,
                                          capacity_factor=None)
-        s, i = np.asarray(s), np.asarray(i)
-        if self.spill is not None:
-            s_sp, i_sp = self.spill.search(query_embeds,
-                                           topk=min(topk, len(self.spill_ids)))
-            ids_sp = self.spill_ids[i_sp]
-            s = np.concatenate([s, s_sp], axis=1)
-            i = np.concatenate([i, ids_sp], axis=1)
-            order = np.argsort(-s, axis=1)[:, :topk]
-            s = np.take_along_axis(s, order, axis=1)
-            i = np.take_along_axis(i, order, axis=1)
-        return s, i
+        return _merge_spill(np.asarray(s), np.asarray(i), self.spill,
+                            getattr(self, "spill_ids", None), query_embeds,
+                            topk)
 
 
 class PallasIVFIndex:
@@ -572,6 +578,9 @@ class PallasIVFIndex:
 
     def set_centroids(self, centroids):
         self.centroids = jnp.asarray(centroids, dtype=jnp.float32)
+        # K is a STATIC arg of the search jit (LUT width, kernel one-hot
+        # geometry): keep it in sync with the codebook actually served
+        self.K = self.centroids.shape[1]
         if getattr(self, "spill", None) is not None:
             self.spill.set_centroids(centroids)
 
@@ -610,14 +619,6 @@ class PallasIVFIndex:
             s, i, _ = self.search_device(query_embeds, topk, nprobe,
                                          capacity_factor=None,
                                          lut_dtype=lut_dtype)
-        s, i = np.asarray(s), np.asarray(i)
-        if self.spill is not None:
-            s_sp, i_sp = self.spill.search(query_embeds,
-                                           topk=min(topk, len(self.spill_ids)))
-            ids_sp = self.spill_ids[i_sp]
-            s = np.concatenate([s, s_sp], axis=1)
-            i = np.concatenate([i, ids_sp], axis=1)
-            order = np.argsort(-s, axis=1)[:, :topk]
-            s = np.take_along_axis(s, order, axis=1)
-            i = np.take_along_axis(i, order, axis=1)
-        return s, i
+        return _merge_spill(np.asarray(s), np.asarray(i), self.spill,
+                            getattr(self, "spill_ids", None), query_embeds,
+                            topk)
