@@ -313,8 +313,11 @@ def _ivf_search_chunk_xla(
     acc = jnp.where(ids_flat >= 0, acc, -jnp.inf)
 
     k = min(topk, acc.shape[1])
-    s, pos = jax.lax.top_k(acc, k)
-    ids = jnp.take_along_axis(ids_flat, pos, axis=1)
+    # exact PartialReduce: run_ivf_sweep exercises this path ON TPU (the
+    # --use_pallas off arm), where lax.top_k's k~1000 sort lowering can
+    # wedge the remote compiler (CLAUDE.md)
+    s, pos = jax.lax.approx_max_k(acc, k, recall_target=1.0)
+    ids = jnp.take_along_axis(ids_flat, pos.astype(jnp.int32), axis=1)
     return s, ids
 
 
