@@ -22,10 +22,19 @@ import time
 
 import numpy as np
 
+import os
+
 D, M, K = 768, 48, 256
 NLIST, LPAD = 4096, 256          # ~1.05M docs
 N_QUERIES, TOPK, NPROBE = 1200, 1000, 64
 BASELINE_QPS = 1500.0
+
+if os.environ.get("REPCONC_BENCH_SMOKE") == "1":
+    # tiny shapes for CPU plumbing smokes of the bench + sweep drivers
+    # (interpret-mode Pallas at the real 1M-doc config would take hours);
+    # the reported QPS is meaningless in this mode and labeled as such
+    NLIST, LPAD = 64, 128
+    N_QUERIES, TOPK, NPROBE = 64, 50, 8
 
 
 def main():
