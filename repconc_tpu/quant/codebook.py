@@ -32,16 +32,24 @@ def pairwise_sqdist(embeds: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     embeds: (B, D); centroids: (M, K, dsub). Returns (M, B, K).
     """
     M = centroids.shape[0]
-    x = subvector_view(embeds, M)  # (B, M, dsub)
-    x_sq = jnp.sum(x * x, axis=-1)  # (B, M)
+    x = subvector_view(embeds, M).transpose(1, 0, 2)  # (M, B, dsub)
+    return _sqdist_mbk(x, centroids)
+
+
+def _sqdist_mbk(x: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    """(M, B, dsub) x (M, K, dsub) -> (M, B, K) squared distances — THE
+    ranking-critical expansion, shared by the chunked and unchunked encode
+    paths so a precision/metric change can never make them diverge.
+
+    HIGHEST precision: argmin over distances must be exact in fp32 — the
+    TPU default would route this matmul through bf16 and flip assignments.
+    """
+    x_sq = jnp.sum(x * x, axis=-1)  # (M, B)
     c_sq = jnp.sum(centroids * centroids, axis=-1)  # (M, K)
-    # HIGHEST precision: argmin over distances must be exact in fp32 — the
-    # TPU default would route this matmul through bf16 and flip assignments.
-    xc = jnp.einsum("bmd,mkd->bmk", x, centroids,
+    xc = jnp.einsum("mbd,mkd->mbk", x, centroids,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-    dist = x_sq.T[:, :, None] + c_sq[:, None, :] - 2.0 * xc.transpose(1, 0, 2)
-    return dist
+    return x_sq[:, :, None] + c_sq[:, None, :] - 2.0 * xc
 
 
 def round_to_divisor(n: int, chunk: int) -> int:
@@ -106,12 +114,7 @@ def encode(
 
         def one(args):
             xm, cm = args  # (mc, B, dsub), (mc, K, dsub)
-            x_sq = jnp.sum(xm * xm, axis=-1)  # (mc, B)
-            c_sq = jnp.sum(cm * cm, axis=-1)  # (mc, K)
-            xc = jnp.einsum("mbd,mkd->mbk", xm, cm,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            d = x_sq[:, :, None] + c_sq[:, None, :] - 2.0 * xc  # (mc, B, K)
+            d = _sqdist_mbk(xm, cm)  # (mc, B, K)
             if not use_constraint:
                 return jnp.argmin(d, axis=-1).T.astype(jnp.int32)
             return sinkhorn_assign(d, sk_epsilon, sk_iters, axis_name)
@@ -136,18 +139,6 @@ def _decode_block(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return sub.reshape(B, -1).astype(centroids.dtype)
 
 
-def _auto_b_chunk(B: int, M: int, K: int) -> int:
-    """Largest divisor of B keeping the (bc, M, K) one-hot <= ~256 MB fp32."""
-    budget = 256 * 1024 * 1024 // 4
-    bc = B
-    while bc > 1 and bc * M * K > budget:
-        next_bc = bc - 1
-        while next_bc > 1 and B % next_bc != 0:
-            next_bc -= 1
-        bc = next_bc
-    return bc
-
-
 def decode(codes: jnp.ndarray, centroids: jnp.ndarray,
            b_chunk: Optional[int] = None) -> jnp.ndarray:
     """Reconstruct embeddings from codes; differentiable w.r.t. centroids.
@@ -161,12 +152,19 @@ def decode(codes: jnp.ndarray, centroids: jnp.ndarray,
     keep every chunk's one-hot alive for the backward pass.
     """
     B, M, K = codes.shape[0], centroids.shape[0], centroids.shape[1]
-    bc = _auto_b_chunk(B, M, K) if b_chunk is None else round_to_divisor(B, b_chunk)
+    budget = 256 * 1024 * 1024 // (4 * M * K)
+    bc = max(1, budget) if b_chunk is None else max(1, b_chunk)
+    bc = min(bc, B)
     if bc < B:
-        codes_c = codes.reshape(B // bc, bc, M)
+        # pad B up to a chunk multiple (static shapes: fine under jit) —
+        # snapping bc to a DIVISOR of B instead degrades to bc=1 for prime
+        # batch sizes, i.e. a length-B sequential scan
+        Bpad = ((B + bc - 1) // bc) * bc
+        codes_p = jnp.pad(codes, ((0, Bpad - B), (0, 0)))
+        codes_c = codes_p.reshape(Bpad // bc, bc, M)
         dec = jax.checkpoint(lambda c: _decode_block(c, centroids))
         out = jax.lax.map(dec, codes_c)
-        return out.reshape(B, -1)
+        return out.reshape(Bpad, -1)[:B]
     return _decode_block(codes, centroids)
 
 
@@ -174,8 +172,14 @@ def decode_gather(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     """Gather-based decode for inference paths (no grad to centroids needed).
 
     Cheaper than the one-hot einsum when B is large (corpus-scale decode).
+    Out-of-range codes clamp to the nearest valid row (mode="clip"):
+    jnp.take's default OOB fill would return NaN rows that silently poison
+    anything built from the reconstructions (the one-hot `decode` yields
+    zero rows in the same situation — neither is "right", but clamping is
+    finite and deterministic).
     """
-    sub = jax.vmap(lambda table, code: jnp.take(table, code, axis=0),
+    sub = jax.vmap(lambda table, code: jnp.take(table, code, axis=0,
+                                                mode="clip"),
                    in_axes=(0, 1), out_axes=1)(centroids, codes)  # (B, M, dsub)
     return sub.reshape(codes.shape[0], -1)
 

@@ -71,9 +71,12 @@ def sinkhorn_log(
     """Entropic OT assignment in log space.
 
     neg_cost: (M, B_local, K) similarity (= -centered_distance).
-    Returns log Q of shape (M, B_local, K) where exp(Q) has row marginals
-    (per centroid, global) = 1/K and column marginals (per sample) = 1/B_global,
-    scaled so each sample's row sums to 1.
+    Returns log Q of shape (M, B_local, K). After the final +log(B_global)
+    rescale, each SAMPLE's K-axis slice of exp(logq) sums to 1 (so argmax
+    over K is a proper assignment), and each CENTROID's global mass
+    (summed over all B_global samples) is B_global/K — the uniform
+    constraint, in the reference's own scaling
+    (tests/test_sinkhorn.py asserts exactly these marginals).
 
     Equivalent to the reference's multiplicative loop (modeling_repconc.py:
     137-165) but fp32-stable. The per-iteration all_reduce(sum_of_rows)
