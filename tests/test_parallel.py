@@ -157,3 +157,52 @@ def test_sharded_pallas_ivf_overflow_self_heals(mesh, rng):
     np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-4)
     for r in range(64):
         assert set(i1[r].tolist()) == set(i2[r].tolist())
+
+
+def test_sharded_pallas_ivf_multi_axis_mesh(rng):
+    """Cell ownership must use the SHARDED axis's extent, not mesh.size: on
+    a (4, 2) mesh cells are split 4 ways, and modulo-mesh.size ownership
+    would leave half of all cells owned by no device (silently dropped,
+    overflow=0)."""
+    from jax.sharding import Mesh as JMesh
+    from repconc_tpu.index.ivf import build_ivf
+    from repconc_tpu.index.kmeans import pq_fit, pq_encode_chunked
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex, ShardedPallasIVFIndex
+
+    N, D, M, K = 2000, 32, 8, 16
+    embeds = rng.normal(size=(N, D)).astype(np.float32)
+    cent, _ = pq_fit(jnp.asarray(embeds[:800]), M=M, K=K, iters=3)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
+    index = build_ivf(embeds, codes, cent, nlist=16, kmeans_iters=3)
+    mesh2d = JMesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "mp"))
+    queries = embeds[:8]
+    s1, i1 = ShardedPallasIVFIndex(mesh2d, index).search(queries, topk=10,
+                                                         nprobe=8)
+    s2, i2 = PallasIVFIndex(index).search(queries, topk=10, nprobe=8)
+    overlap = np.mean([len(set(i1[r]) & set(i2[r])) / 10 for r in range(8)])
+    assert overlap > 0.9, overlap
+
+
+def test_sharded_pallas_ivf_pads_with_minus_one(mesh, rng):
+    """Fewer real candidates than topk: filler slots must be id -1 at
+    -inf (like the single-chip path), never spurious real doc ids."""
+    from repconc_tpu.index.ivf import build_ivf
+    from repconc_tpu.index.kmeans import pq_fit, pq_encode_chunked
+    from repconc_tpu.index.pallas_ivf import ShardedPallasIVFIndex
+
+    N, D, M, K = 600, 32, 8, 16
+    embeds = rng.normal(size=(N, D)).astype(np.float32)
+    cent, _ = pq_fit(jnp.asarray(embeds[:400]), M=M, K=K, iters=3)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=512)
+    index = build_ivf(embeds, codes, cent, nlist=16, kmeans_iters=3)
+    sharded = ShardedPallasIVFIndex(mesh, index)
+    # nprobe=2 of 16 cells: candidates << topk=500
+    s, i = sharded.search(embeds[:4], topk=500, nprobe=2)
+    for r in range(4):
+        empty = ~np.isfinite(s[r])
+        assert empty.any()  # the probe really is starved
+        assert (i[r][empty] == -1).all(), i[r][empty][:5]
+        real = i[r][~empty]
+        assert len(set(real.tolist())) == len(real)  # no duplicate ids
