@@ -203,7 +203,8 @@ case $STAGE in
     --qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
     --out_corpus_dir "${OUT_ROOT}/m${M}/conc_index" \
     --out_query_dir "${OUT_ROOT}/m${M}/jpq_index/dev" \
-    --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000
+    --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000 \
+    ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64}}
   ;;
 opq-eval)
   # OPQ-only: score the warmup checkpoint's codes on dev, no finetuning
