@@ -249,7 +249,8 @@ jpq-eval)
     --qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
     --out_corpus_dir "${OUT_ROOT}/m${M}/warmup_index" \
     --out_query_dir "${OUT_ROOT}/m${M}/jpq_only_index/dev" \
-    --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000
+    --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000 \
+    ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64}}
   ;;
 *)
   echo "unknown stage ${STAGE}" >&2; exit 1 ;;
