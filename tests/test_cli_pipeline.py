@@ -366,3 +366,39 @@ def test_beir_eval_end_to_end(env, tmp_path):
     # run.tsv qids/docids round-tripped as BEIR string ids (TREC columns)
     first = open(out / "test" / "run.tsv").readline().split()
     assert first[0].startswith("bq") and first[2].startswith("doc"), first
+
+
+def test_ivf_eval_cli_and_stale_guard(env):
+    """--index_type ivf through the eval CLI: builds the reconstruction-
+    space IVF, metrics close to the flat-ADC run; rerunning with a
+    different --nlist must REBUILD the cached index (stale-guard), not
+    silently serve the old geometry."""
+    root = env
+    data = root / "data"
+    if not (root / "conc_out" / "final" / "params.msgpack").exists():
+        pytest.skip("needs test_full_pipeline artifacts")
+
+    args = [
+        "--model_name_or_path", str(root / "conc_out" / "final"),
+        "--corpus_path", str(data / "corpus.tsv"),
+        "--query_path", str(data / "queries.tsv"),
+        "--qrel_path", str(data / "qrels.txt"),
+        "--out_corpus_dir", str(root / "conc_ivf"),
+        "--out_query_dir", str(root / "conc_ivf" / "dev"),
+        "--max_seq_length", "32", "--topk", "20",
+        "--index_type", "ivf", "--nprobe", "4"]
+    run_repconc_eval.main(args + ["--nlist", "8"])
+    import numpy as np2
+    z = np2.load(root / "conc_ivf" / "ivf_index.npz")
+    assert z["coarse_centroids"].shape[0] == 8
+    m_ivf = json.load(open(root / "conc_ivf" / "dev" / "metric.json"))
+    m_flat = json.load(open(root / "conc_eval" / "dev" / "metric.json"))
+    # nprobe 4/8 cells probes half the corpus: near-flat quality
+    assert abs(m_ivf["mrr"]["MRR@10"] - m_flat["mrr"]["MRR@10"]) < 0.15
+
+    # stale guard: different --nlist must rebuild (metric.json cleared so
+    # the search actually reruns)
+    os.remove(root / "conc_ivf" / "dev" / "metric.json")
+    run_repconc_eval.main(args + ["--nlist", "4"])
+    z = np2.load(root / "conc_ivf" / "ivf_index.npz")
+    assert z["coarse_centroids"].shape[0] == 4, "stale index served"
