@@ -42,6 +42,11 @@ fi
 DATA_DIR=${DATA_DIR:-./data/msmarco-passage}
 OUT_ROOT=${OUT_ROOT:-./data/experiments/${FAMILY}}
 M=${M:-48}
+# Experiment dir for the quantized stages (5-10 + siblings). EXP_TAG lets a
+# hyperparameter variant (e.g. EXP_TAG=-lowmse) run stages 7-10 in its own
+# directory while sharing the family's stage 2-6 artifacts — symlink
+# ${EXP}/warmup_model at the tagged path (stage 7's only tagged input).
+EXP=${OUT_ROOT}/m${M}${EXP_TAG:-}
 ADAPTER_FLAG=${ADAPTER:+--adapter ${ADAPTER}}
 MAX_DOC_LEN_EVAL=${MAX_DOC_LEN_EVAL:-512}
 
@@ -120,22 +125,22 @@ case $STAGE in
     ${METRIC:+--similarity_metric ${METRIC}} \
     --input_corpus_embed_path "${OUT_ROOT}/dense/corpus_embeds.npy" \
     --input_corpus_ids_path "${OUT_ROOT}/dense/corpus_ids.npy" \
-    --output_model_dir "${OUT_ROOT}/m${M}/warmup_model" \
-    --output_index_dir "${OUT_ROOT}/m${M}/warmup_index"
+    --output_model_dir "${EXP}/warmup_model" \
+    --output_index_dir "${EXP}/warmup_index"
   ;;
 6)
   # retrieve top-200 per TRAIN query with the warmup model, then extract
   # negatives = top-k minus positives (reference: 6_gen_hardneg.sh +
   # train/run_extract_hardneg.py)
   python -m repconc_tpu.cli.run_repconc_eval \
-    --model_name_or_path "${OUT_ROOT}/m${M}/warmup_model" ${ADAPTER_FLAG} \
+    --model_name_or_path "${EXP}/warmup_model" ${ADAPTER_FLAG} \
     --corpus_path "${DATA_DIR}/corpus.tsv" \
     --query_path "${DATA_DIR}/queries.train.tsv" \
-    --out_corpus_dir "${OUT_ROOT}/m${M}/warmup_run" \
-    --out_query_dir "${OUT_ROOT}/m${M}/warmup_run/train" \
+    --out_corpus_dir "${EXP}/warmup_run" \
+    --out_query_dir "${EXP}/warmup_run/train" \
     --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 210
   python -m repconc_tpu.cli.run_extract_hardneg \
-    --run_path "${OUT_ROOT}/m${M}/warmup_run/train/run.tsv" \
+    --run_path "${EXP}/warmup_run/train/run.tsv" \
     --qrel_path "${DATA_DIR}/qrels.train.tsv" \
     --topk 200 \
     --output_path "${OUT_ROOT}/hardneg.json"
@@ -145,8 +150,8 @@ case $STAGE in
   # lr 2e-5 / centroid-lr 5e-4, mse 1e-4, sk_eps 0.003, sk_iters 100
   # (examples/tas-balanced/repconc/7_run_conc_train.sh:15-20,92-96)
   python -m repconc_tpu.cli.run_train_conc \
-    --model_name_or_path "${OUT_ROOT}/m${M}/warmup_model" ${ADAPTER_FLAG} \
-    --output_dir "${OUT_ROOT}/m${M}/conc" \
+    --model_name_or_path "${EXP}/warmup_model" ${ADAPTER_FLAG} \
+    --output_dir "${EXP}/conc" \
     --qrel_path "${DATA_DIR}/qrels.train.tsv" \
     --query_path "${DATA_DIR}/queries.train.tsv" \
     --corpus_path "${DATA_DIR}/corpus.tsv" \
@@ -167,26 +172,26 @@ case $STAGE in
   ;;
 8)
   python -m repconc_tpu.cli.run_repconc_eval \
-    --model_name_or_path "$(best_or_final "${OUT_ROOT}/m${M}/conc")" ${ADAPTER_FLAG} \
+    --model_name_or_path "$(best_or_final "${EXP}/conc")" ${ADAPTER_FLAG} \
     --corpus_path "${DATA_DIR}/corpus.tsv" \
     --query_path "${DATA_DIR}/queries.dev.small.tsv" \
     --qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
-    --out_corpus_dir "${OUT_ROOT}/m${M}/conc_index" \
-    --out_query_dir "${OUT_ROOT}/m${M}/conc_index/dev" \
+    --out_corpus_dir "${EXP}/conc_index" \
+    --out_query_dir "${EXP}/conc_index/dev" \
     --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000 \
     ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64}}
   ;;
 9)
   # reference: single-GPU batch 128 (9_run_jpq_train.sh:10-13)
   python -m repconc_tpu.cli.run_train_jpq \
-    --model_name_or_path "$(best_or_final "${OUT_ROOT}/m${M}/conc")" ${ADAPTER_FLAG} \
-    --index_dir "${OUT_ROOT}/m${M}/conc_index" \
+    --model_name_or_path "$(best_or_final "${EXP}/conc")" ${ADAPTER_FLAG} \
+    --index_dir "${EXP}/conc_index" \
     --qrel_path "${DATA_DIR}/qrels.train.tsv" \
     --query_path "${DATA_DIR}/queries.train.tsv" \
     --valid_qrel_path "${OUT_ROOT}/valid/qrels.tsv" \
     --valid_query_path "${OUT_ROOT}/valid/queries.tsv" \
     --max_query_len 32 \
-    --output_dir "${OUT_ROOT}/m${M}/jpq" \
+    --output_dir "${EXP}/jpq" \
     --per_device_train_batch_size ${JPQ_BATCH:-128} \
     --learning_rate 5e-6 --centroid_learning_rate 2e-4 \
     --dynamic_topk_negative 200 \
@@ -196,25 +201,25 @@ case $STAGE in
   ;;
 10)
   python -m repconc_tpu.cli.run_repconc_eval \
-    --doc_encoder_path "$(best_or_final "${OUT_ROOT}/m${M}/conc")" ${ADAPTER_FLAG} \
-    --query_encoder_path "$(best_or_final "${OUT_ROOT}/m${M}/jpq")" \
+    --doc_encoder_path "$(best_or_final "${EXP}/conc")" ${ADAPTER_FLAG} \
+    --query_encoder_path "$(best_or_final "${EXP}/jpq")" \
     --corpus_path "${DATA_DIR}/corpus.tsv" \
     --query_path "${DATA_DIR}/queries.dev.small.tsv" \
     --qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
-    --out_corpus_dir "${OUT_ROOT}/m${M}/conc_index" \
-    --out_query_dir "${OUT_ROOT}/m${M}/jpq_index/dev" \
+    --out_corpus_dir "${EXP}/conc_index" \
+    --out_query_dir "${EXP}/jpq_index/dev" \
     --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000 \
     ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64}}
   ;;
 opq-eval)
   # OPQ-only: score the warmup checkpoint's codes on dev, no finetuning
   python -m repconc_tpu.cli.run_repconc_eval \
-    --model_name_or_path "${OUT_ROOT}/m${M}/warmup_model" ${ADAPTER_FLAG} \
+    --model_name_or_path "${EXP}/warmup_model" ${ADAPTER_FLAG} \
     --corpus_path "${DATA_DIR}/corpus.tsv" \
     --query_path "${DATA_DIR}/queries.dev.small.tsv" \
     --qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
-    --out_corpus_dir "${OUT_ROOT}/m${M}/opq_index" \
-    --out_query_dir "${OUT_ROOT}/m${M}/opq_index/dev" \
+    --out_corpus_dir "${EXP}/opq_index" \
+    --out_query_dir "${EXP}/opq_index/dev" \
     --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000 \
     ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64}}
   ;;
@@ -222,14 +227,14 @@ jpq-train)
   # JPQ-only: stage-2 on the warmup model + warmup codes (stage-1 skipped);
   # reference hyperparameters from examples/tas-balanced/jpq/6_run_jpq_train.sh
   python -m repconc_tpu.cli.run_train_jpq \
-    --model_name_or_path "${OUT_ROOT}/m${M}/warmup_model" ${ADAPTER_FLAG} \
-    --index_dir "${OUT_ROOT}/m${M}/warmup_index" \
+    --model_name_or_path "${EXP}/warmup_model" ${ADAPTER_FLAG} \
+    --index_dir "${EXP}/warmup_index" \
     --qrel_path "${DATA_DIR}/qrels.train.tsv" \
     --query_path "${DATA_DIR}/queries.train.tsv" \
     --valid_qrel_path "${OUT_ROOT}/valid/qrels.tsv" \
     --valid_query_path "${OUT_ROOT}/valid/queries.tsv" \
     --max_query_len 32 \
-    --output_dir "${OUT_ROOT}/m${M}/jpq_only" \
+    --output_dir "${EXP}/jpq_only" \
     --per_device_train_batch_size ${JPQ_BATCH:-128} \
     --learning_rate 5e-6 --centroid_learning_rate 2e-4 \
     --dynamic_topk_negative 200 \
@@ -242,13 +247,13 @@ jpq-eval)
   # (jpq-train trained against exactly these codes); centroids come from
   # the jpq query encoder (the stage-2 centroid swap).
   python -m repconc_tpu.cli.run_repconc_eval \
-    --doc_encoder_path "${OUT_ROOT}/m${M}/warmup_model" ${ADAPTER_FLAG} \
-    --query_encoder_path "$(best_or_final "${OUT_ROOT}/m${M}/jpq_only")" \
+    --doc_encoder_path "${EXP}/warmup_model" ${ADAPTER_FLAG} \
+    --query_encoder_path "$(best_or_final "${EXP}/jpq_only")" \
     --corpus_path "${DATA_DIR}/corpus.tsv" \
     --query_path "${DATA_DIR}/queries.dev.small.tsv" \
     --qrel_path "${DATA_DIR}/qrels.dev.small.tsv" \
-    --out_corpus_dir "${OUT_ROOT}/m${M}/warmup_index" \
-    --out_query_dir "${OUT_ROOT}/m${M}/jpq_only_index/dev" \
+    --out_corpus_dir "${EXP}/warmup_index" \
+    --out_query_dir "${EXP}/jpq_only_index/dev" \
     --max_seq_length ${MAX_DOC_LEN_EVAL} --topk 1000 \
     ${IVF:+--index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64}}
   ;;
