@@ -37,6 +37,26 @@ if os.environ.get("REPCONC_BENCH_SMOKE") == "1":
     N_QUERIES, TOPK, NPROBE = 64, 50, 8
 
 
+def _check_tunnel_alive():
+    """Fail fast if the axon relay is down: EVERY device op (even
+    jax.devices()) hangs FOREVER through a dead tunnel (CLAUDE.md), which
+    would wedge an unattended bench run. Only probes when the axon plugin
+    is in play (PALLAS_AXON_POOL_IPS= disables it for CPU runs)."""
+    if os.environ.get("PALLAS_AXON_POOL_IPS", "unset") == "":
+        return
+    import socket
+    try:
+        socket.create_connection(("127.0.0.1", 8082), timeout=5).close()
+    except OSError:
+        import sys
+        print(json.dumps({
+            "metric": "error", "value": 0, "unit": "",
+            "error": "axon tunnel relay (127.0.0.1:8082) unreachable; "
+                     "device ops would hang forever — aborting bench",
+        }), file=sys.stderr)
+        sys.exit(3)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -91,7 +111,11 @@ def main():
     qps = N_QUERIES / min(times)
 
     print(json.dumps({
-        "metric": f"ivfpq{M}_nlist{NLIST}_nprobe{NPROBE}_qps_1M_top{TOPK}",
+        # name kept identical across rounds (BENCH_r0N.json comparability);
+        # smoke mode renames so tiny-shape numbers can't be mistaken for it
+        "metric": (f"ivfpq{M}_nlist{NLIST}_nprobe{NPROBE}_qps_1M_top{TOPK}"
+                   if os.environ.get("REPCONC_BENCH_SMOKE") != "1" else
+                   f"SMOKE_ivfpq{M}_nlist{NLIST}_{NLIST * LPAD}docs"),
         "value": round(qps, 2),
         "unit": "queries/s/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
@@ -101,4 +125,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _check_tunnel_alive()
     main()
