@@ -32,8 +32,13 @@ PARAMS_NAME = "params.msgpack"
 def save_params(output_dir: str, params: Any) -> None:
     os.makedirs(output_dir, exist_ok=True)
     params = jax.tree.map(np.asarray, params)
-    with open(os.path.join(output_dir, PARAMS_NAME), "wb") as f:
+    # atomic: a crash mid-write (worker restart, tunnel death) must never
+    # leave a truncated params.msgpack where the previous best/ stood
+    path = os.path.join(output_dir, PARAMS_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(params))
+    os.replace(tmp, path)
 
 
 def load_params(load_dir: str, target: Any = None) -> Any:

@@ -219,7 +219,11 @@ def _params_fingerprint(params) -> str:
         a = np.asarray(leaf)
         s1 = float(np.sum(a, dtype=np.float64))
         s2 = float(np.sum(np.square(a, dtype=np.float64)))
-        h.update(f"{path}|{a.shape}|{s1:.6e}|{s2:.6e}".encode())
+        # full double precision: at %.6e (7 significant digits) a lightly
+        # trained checkpoint (relative param change < 1e-7, e.g. a few tiny-
+        # lr steps) would fingerprint identically and silently reuse stale
+        # shards; %.17e round-trips the float64 sums exactly
+        h.update(f"{path}|{a.shape}|{s1:.17e}|{s2:.17e}".encode())
     return h.hexdigest()
 
 

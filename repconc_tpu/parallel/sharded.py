@@ -127,6 +127,35 @@ class ShardedFlatIndex:
         return np.asarray(s), np.asarray(i)
 
 
+class ShardedADCIndex:
+    """Corpus-sharded XLA ADC index — the portable sibling of
+    ShardedPallasADCIndex with the same shard/merge structure. The uint8
+    code matrix is padded and placed on the mesh ONCE (uint8 across the
+    host->device transfer: int32 would quadruple the bytes through the
+    tunnel); every search reuses the resident shards + the cached compiled
+    shard_map, so a per-batch serving loop never re-places the corpus."""
+
+    def __init__(self, mesh: Mesh, codes, centroids):
+        self.mesh = mesh
+        self.N = codes.shape[0]
+        codes_p = _pad_rows(np.asarray(codes), mesh.size)
+        self.n_local = codes_p.shape[0] // mesh.size
+        self.codes = jax.device_put(
+            jnp.asarray(codes_p), NamedSharding(mesh, P(mesh.axis_names[0])))
+        self.centroids = jnp.asarray(centroids, dtype=jnp.float32)
+
+    def search(self, query_embeds, topk: int = 1000):
+        from repconc_tpu.index.adc import build_lut
+
+        topk = min(topk, self.N)
+        topk_l = min(topk, self.n_local)
+        lut = build_lut(jnp.asarray(query_embeds, jnp.float32),
+                        self.centroids)
+        fn = _adc_search_fn(self.mesh, self.n_local, self.N, topk, topk_l)
+        s, i = fn(lut, self.codes)
+        return np.asarray(s), np.asarray(i)
+
+
 def sharded_adc_search(
     mesh: Mesh,
     query_embeds,
@@ -137,24 +166,10 @@ def sharded_adc_search(
     """ADC top-k with the code matrix sharded over the corpus dimension.
 
     Any N (zero-padded to a mesh multiple, pad rows masked -inf; topk wider
-    than a shard widens back at the merge). Uses the XLA scoring path inside
-    shard_map (portable); ShardedPallasADCIndex is the TPU-kernel sibling
-    with the same merge structure.
+    than a shard widens back at the merge). One-shot convenience over
+    ShardedADCIndex — inside a serving loop build the index once instead.
     """
-    from repconc_tpu.index.adc import build_lut
-
-    N = codes.shape[0]
-    # keep uint8 across the host->device transfer (score_codes casts on
-    # device); int32 would quadruple the bytes through the tunnel
-    codes_p = _pad_rows(np.asarray(codes), mesh.size)
-    n_local = codes_p.shape[0] // mesh.size
-    topk = min(topk, N)
-    topk_l = min(topk, n_local)
-    lut = build_lut(jnp.asarray(query_embeds, jnp.float32),
-                    jnp.asarray(centroids, jnp.float32))
-    fn = _adc_search_fn(mesh, n_local, N, topk, topk_l)
-    s, i = fn(lut, jnp.asarray(codes_p))
-    return np.asarray(s), np.asarray(i)
+    return ShardedADCIndex(mesh, codes, centroids).search(query_embeds, topk)
 
 
 class ShardedPallasADCIndex:
@@ -266,8 +281,8 @@ def sharded_batch_adc_search(
     (ShardedPallasADCIndex); elsewhere the XLA scoring path runs inside the
     same shard_map merge. Returns (scores, ROW ids)."""
     on_tpu = jax.devices()[0].platform == "tpu"
-    searcher = (ShardedPallasADCIndex(mesh, codes, centroids)
-                if on_tpu else None)
+    searcher = (ShardedPallasADCIndex(mesh, codes, centroids) if on_tpu
+                else ShardedADCIndex(mesh, codes, centroids))
     Q = query_embeds.shape[0]
     batch_size = min(batch_size, Q)
     all_s, all_i = [], []
@@ -276,10 +291,7 @@ def sharded_batch_adc_search(
         real = qc.shape[0]
         if real < batch_size:
             qc = np.pad(qc, ((0, batch_size - real), (0, 0)))
-        if searcher is not None:
-            s, i = searcher.search(qc, topk=topk)
-        else:
-            s, i = sharded_adc_search(mesh, qc, codes, centroids, topk=topk)
+        s, i = searcher.search(qc, topk=topk)
         all_s.append(s[:real])
         all_i.append(i[:real])
     return np.concatenate(all_s, 0), np.concatenate(all_i, 0)
