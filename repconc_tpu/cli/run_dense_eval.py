@@ -112,8 +112,9 @@ def main(argv=None):
             output="continuous_embedding", mesh=mesh, cache_dir=shard_cache)
         if args.save_corpus_embed:
             os.makedirs(args.out_corpus_dir, exist_ok=True)
-            np.save(emb_path, corpus_embeds)
-            np.save(ids_path, corpus_ids)
+            from repconc_tpu.core.checkpoint import atomic_np_save
+            atomic_np_save(emb_path, corpus_embeds)
+            atomic_np_save(ids_path, corpus_ids)
             clear_encode_cache(shard_cache)
         # without save_corpus_embed the shards ARE the cache: a rerun
         # resumes from them (meta.json invalidates on any setting change)
@@ -131,8 +132,9 @@ def main(argv=None):
             batch_size=args.per_device_eval_batch_size, mesh=mesh)
         if args.save_query_embed:
             os.makedirs(args.out_query_dir, exist_ok=True)
-            np.save(qemb_path, query_embeds)
-            np.save(qids_path, query_ids)
+            from repconc_tpu.core.checkpoint import atomic_np_save
+            atomic_np_save(qemb_path, query_embeds)
+            atomic_np_save(qids_path, query_ids)
 
     out_metric_path = os.path.join(args.out_query_dir, "metric.json")
     if os.path.exists(out_metric_path):

@@ -125,8 +125,9 @@ def main(argv=None):
                 batch_size=args.per_device_eval_batch_size, output="code",
                 mesh=mesh, stopwatch=sw, cache_dir=shard_cache)
         os.makedirs(args.out_corpus_dir, exist_ok=True)
-        np.save(codes_path, codes)
-        np.save(cids_path, corpus_ids)
+        from repconc_tpu.core.checkpoint import atomic_np_save
+        atomic_np_save(codes_path, codes)
+        atomic_np_save(cids_path, corpus_ids)
         clear_encode_cache(shard_cache)
 
     # --- query embeddings (cached) ---
@@ -147,8 +148,9 @@ def main(argv=None):
                 queries, q_config, q_params, q_tokenizer, args.max_seq_length,
                 batch_size=args.per_device_eval_batch_size, mesh=mesh)
         os.makedirs(args.out_query_dir, exist_ok=True)
-        np.save(qemb_path, query_embeds)
-        np.save(qids_path, query_ids)
+        from repconc_tpu.core.checkpoint import atomic_np_save
+        atomic_np_save(qemb_path, query_embeds)
+        atomic_np_save(qids_path, query_ids)
 
     out_metric_path = os.path.join(args.out_query_dir, "metric.json")
     if os.path.exists(out_metric_path):
@@ -165,11 +167,18 @@ def main(argv=None):
         with sw("build_ivf"):
             ivf = None
             if os.path.exists(ivf_path):
-                ivf = IVFIndex.load(args.out_corpus_dir)
+                try:
+                    ivf = IVFIndex.load(args.out_corpus_dir)
+                except Exception as e:  # partial/corrupt npz from a killed
+                    #                     run: rebuild instead of crashing
+                    logger.warning("cached ivf_index.npz unreadable (%s) — "
+                                   "rebuilding", e)
+                    ivf = None
                 # staleness guard: a cached index built at a different
                 # --nlist, or over different codes (re-encoded corpus),
                 # would silently serve wrong results
-                if (ivf.nlist != min(args.nlist, codes.shape[0])
+                if ivf is not None and (
+                        ivf.nlist != min(args.nlist, codes.shape[0])
                         or ivf.ntotal != codes.shape[0]):
                     logger.warning(
                         "cached ivf_index.npz is stale (nlist %d vs %d, "

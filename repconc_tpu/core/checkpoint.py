@@ -29,6 +29,16 @@ from repconc_tpu.core.config import RepConcConfig
 PARAMS_NAME = "params.msgpack"
 
 
+def atomic_np_save(path: str, arr: np.ndarray) -> None:
+    """np.save via tmp + rename: eval artifacts (codes.npy is ~0.4 GB at
+    8.8M docs) are written by unattended pipeline stages whose skip-if-exists
+    caching treats file existence as validity — a partial file from a crash
+    mid-write must never satisfy that check."""
+    tmp = path + ".tmp.npy"
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+
+
 def save_params(output_dir: str, params: Any) -> None:
     os.makedirs(output_dir, exist_ok=True)
     params = jax.tree.map(np.asarray, params)

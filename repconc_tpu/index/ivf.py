@@ -82,8 +82,12 @@ class IVFIndex:
     # -- persistence ------------------------------------------------------
     def save(self, out_dir: str) -> None:
         os.makedirs(out_dir, exist_ok=True)
+        # atomic: at 8.8M docs this npz is ~0.5 GB and is written by
+        # unattended pipeline stages — a crash mid-write must never leave a
+        # partial archive that the next run's cache check would try to load
+        tmp = os.path.join(out_dir, "ivf_index.tmp.npz")
         np.savez(
-            os.path.join(out_dir, "ivf_index.npz"),
+            tmp,
             coarse_centroids=self.coarse_centroids,
             cell_codes=self.cell_codes,
             cell_ids=self.cell_ids,
@@ -92,6 +96,7 @@ class IVFIndex:
             spill_ids=self.spill_ids,
             centroids=self.centroids,
         )
+        os.replace(tmp, os.path.join(out_dir, "ivf_index.npz"))
 
     @classmethod
     def load(cls, load_dir: str) -> "IVFIndex":

@@ -402,3 +402,11 @@ def test_ivf_eval_cli_and_stale_guard(env):
     run_repconc_eval.main(args + ["--nlist", "4"])
     z = np2.load(root / "conc_ivf" / "ivf_index.npz")
     assert z["coarse_centroids"].shape[0] == 4, "stale index served"
+
+    # corruption guard: a partial npz from a killed run must trigger a
+    # rebuild, not an unhandled zipfile error
+    (root / "conc_ivf" / "ivf_index.npz").write_bytes(b"PK\x03\x04corrupt")
+    os.remove(root / "conc_ivf" / "dev" / "metric.json")
+    run_repconc_eval.main(args + ["--nlist", "4"])
+    z = np2.load(root / "conc_ivf" / "ivf_index.npz")
+    assert z["coarse_centroids"].shape[0] == 4, "corrupt index not rebuilt"
