@@ -31,7 +31,7 @@ python -m repconc_tpu.cli.run_repconc_eval \
     --query_path "${DATASET_DIR}/queries.jsonl" \
     --qrel_path "${DATASET_DIR}/qrels/test.tsv" \
     --out_corpus_dir "${OUTPUT_DIR}" \
-    --out_query_dir "${OUTPUT_DIR}" \
+    --out_query_dir "${OUTPUT_DIR}/test" \
     --data_format beir \
     --per_device_eval_batch_size ${EVAL_BATCH:-64} \
     --max_seq_length ${MAX_SEQ_LEN:-512} \
