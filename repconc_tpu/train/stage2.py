@@ -110,7 +110,10 @@ def make_train_step(config: RepConcConfig, hp: Stage2Hparams, tx, codes,
         codes_dev = jnp.asarray(padded)
         gm = pallas_adc._group_size(codes.shape[1], config.MCQ_K)
     else:
-        codes_dev = jnp.asarray(np.asarray(codes).astype(np.int32))
+        # uint8 on device: score_codes/decode widen per-use, so the resident
+        # copy stays 1 byte/code — at 8.8M docs M=48 that is 0.4 GB instead
+        # of 1.7 GB (and 4x less replication traffic under a mesh)
+        codes_dev = jnp.asarray(np.asarray(codes).astype(np.uint8))
 
     def retrieve(q_detached, centroids, codes):
         """Top-k dynamic hard negatives; the whole search is gradient-free
