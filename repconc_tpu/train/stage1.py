@@ -282,10 +282,17 @@ def save_train_state(path: str, params, opt_state, step: int, best: float,
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(target, blob)
     else:
-        with open(os.path.join(path, "train_state.msgpack"), "wb") as f:
+        # atomic: a crash mid-save must never leave a truncated state where
+        # the previous resumable checkpoint stood (an unattended retry loop
+        # would then fail on EVERY attempt)
+        target = os.path.join(path, "train_state.msgpack")
+        with open(target + ".tmp", "wb") as f:
             f.write(serialization.to_bytes(blob))
-    with open(os.path.join(path, "trainer_meta.json"), "w") as f:
+        os.replace(target + ".tmp", target)
+    meta_target = os.path.join(path, "trainer_meta.json")
+    with open(meta_target + ".tmp", "w") as f:
         json.dump({"step": step, "best_metric": best, "backend": backend}, f)
+    os.replace(meta_target + ".tmp", meta_target)
 
 
 def load_train_state(path: str, params, opt_state):
@@ -328,9 +335,14 @@ def train(
     start_step, best = 0, -1.0
     ckpt_dir = os.path.join(output_dir, "checkpoint")
     if os.path.exists(os.path.join(ckpt_dir, "trainer_meta.json")):
-        params, opt_state, start_step, best = load_train_state(
-            ckpt_dir, params, opt_state)
-        logger.info("resumed from step %d (best %.5f)", start_step, best)
+        try:
+            params, opt_state, start_step, best = load_train_state(
+                ckpt_dir, params, opt_state)
+            logger.info("resumed from step %d (best %.5f)", start_step, best)
+        except Exception as e:  # corrupt state from a killed run: restart
+            #                     from init rather than wedging every retry
+            logger.warning("train-state checkpoint unreadable (%s) — "
+                           "starting from step 0", e)
 
     step_fn = make_train_step(config, hp, tx)
     if mesh is not None:

@@ -217,9 +217,13 @@ def train(
     start_step, best = 0, -1.0
     ckpt_dir = os.path.join(output_dir, "checkpoint")
     if os.path.exists(os.path.join(ckpt_dir, "trainer_meta.json")):
-        params, opt_state, start_step, best = stage1.load_train_state(
-            ckpt_dir, params, opt_state)
-        logger.info("resumed from step %d (best %.5f)", start_step, best)
+        try:
+            params, opt_state, start_step, best = stage1.load_train_state(
+                ckpt_dir, params, opt_state)
+            logger.info("resumed from step %d (best %.5f)", start_step, best)
+        except Exception as e:  # corrupt state from a killed run: restart
+            logger.warning("train-state checkpoint unreadable (%s) — "
+                           "starting from step 0", e)
 
     step_fn, codes_dev = make_train_step(config, hp, tx, codes, mesh=mesh)
     if mesh is not None:
