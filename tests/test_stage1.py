@@ -195,6 +195,23 @@ def test_train_loop_end_to_end(tiny, rng, tmp_path):
     assert out2["step"] == 6
 
 
+def test_train_resumes_fresh_on_corrupt_state(tiny, rng, tmp_path):
+    """A truncated train_state.msgpack (killed run) must restart training
+    from step 0 with a warning — not raise on every retry of an unattended
+    driver loop."""
+    cfg, params = tiny
+    hp = Stage1Hparams(total_steps=2, logging_steps=1, use_constraint=False)
+
+    def batches():
+        while True:
+            yield make_batch(rng)
+
+    stage1.train(cfg, params, batches(), hp, str(tmp_path))
+    (tmp_path / "checkpoint" / "train_state.msgpack").write_bytes(b"\x93trunc")
+    out = stage1.train(cfg, params, batches(), hp, str(tmp_path))
+    assert out["step"] == 2  # ran again from 0, not resumed-and-skipped
+
+
 def test_train_state_orbax_roundtrip(tiny, tmp_path):
     """Optional orbax checkpoint backend restores bit-identically."""
     pytest.importorskip("orbax.checkpoint")
