@@ -45,6 +45,53 @@ def _accumulate(x: jnp.ndarray, codes: jnp.ndarray, K: int) -> Tuple[jnp.ndarray
     return sums, counts
 
 
+# Auto-chunk threshold for the (N, K) buffers inside lloyd_step (elements).
+# The IVF coarse build at MS MARCO scale is 262,144 train points x 5,000
+# cells: the assignment matmul AND the one-hot segment-sum each materialize
+# a 5.2 GB (N, K) fp32 buffer — two of those transiently alongside the data
+# is an HBM-OOM risk on a 16 GB chip (which surfaces only as "worker
+# crashed" through this environment's tunnel). Above the threshold the
+# row dimension is lax.map-chunked (same convention as quant/codebook.py);
+# results are EXACT either way (sums/counts/err are plain sums over rows).
+_CHUNK_ELEMS = 2 ** 27  # 512 MB fp32 per (rows, K) buffer
+
+
+def _assign_accumulate(x, centroids):
+    """(codes-free) fused assignment + cluster stats for one Lloyd step:
+    returns (sums (K, d), counts (K,), err scalar), chunking rows when the
+    (N, K) intermediates would exceed _CHUNK_ELEMS."""
+    K = centroids.shape[0]
+    N, d = x.shape
+    if N * K <= _CHUNK_ELEMS or N <= 1:
+        codes = assign(x, centroids)
+        sums, counts = _accumulate(x, codes, K)
+        rec = jnp.take(centroids, codes, axis=0)
+        err = jnp.sum((x - rec) ** 2)
+        return sums, counts, err
+
+    rows = max(1, _CHUNK_ELEMS // K)
+    c = -(-N // rows)
+    rows_p = -(-N // c)
+    pad = c * rows_p - N
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    mask = jnp.pad(jnp.ones((N,), x.dtype), (0, pad))
+
+    def chunk_fn(args):
+        xc, mc = args
+        codes = assign(xc, centroids)
+        onehot = jax.nn.one_hot(codes, K, dtype=xc.dtype) * mc[:, None]
+        sums = jnp.einsum("nk,nd->kd", onehot, xc,
+                          preferred_element_type=jnp.float32, precision=_HIGH)
+        counts = jnp.sum(onehot, axis=0)
+        rec = jnp.take(centroids, codes, axis=0)
+        err = jnp.sum(mc * jnp.sum((xc - rec) ** 2, axis=-1))
+        return sums, counts, err
+
+    sums, counts, err = jax.lax.map(
+        chunk_fn, (xp.reshape(c, rows_p, d), mask.reshape(c, rows_p)))
+    return sums.sum(0), counts.sum(0), err.sum()
+
+
 def lloyd_step(
     x: jnp.ndarray,
     centroids: jnp.ndarray,
@@ -54,11 +101,7 @@ def lloyd_step(
     The empty-cluster split is deterministic (distinct sin-based jitter per
     empty slot) — no RNG, so the step stays scan/jit-friendly."""
     K = centroids.shape[0]
-    codes = assign(x, centroids)
-    sums, counts = _accumulate(x, codes, K)
-    # quantization error (for convergence monitoring)
-    rec = jnp.take(centroids, codes, axis=0)
-    err = jnp.sum((x - rec) ** 2)
+    sums, counts, err = _assign_accumulate(x, centroids)
     n = jnp.asarray(x.shape[0], dtype=jnp.float32)
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)

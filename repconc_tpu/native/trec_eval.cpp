@@ -34,13 +34,18 @@ struct RunDoc {
 };
 using RunMap = std::unordered_map<std::string, std::vector<RunDoc>>;
 
+// Line-based parsing: a malformed line is SKIPPED, never allowed to
+// truncate the rest of the file (a bare fscanf loop stops at the first
+// pattern mismatch and would silently evaluate half a run).
 bool read_qrels(const char* path, QrelMap* qrels) {
   FILE* f = fopen(path, "r");
   if (!f) return false;
-  char qid[256], it[256], docid[256];
+  char line[4096], qid[1024], it[1024], docid[1024];
   long rel;
-  while (fscanf(f, "%255s %255s %255s %ld", qid, it, docid, &rel) == 4) {
-    (*qrels)[qid][docid] = static_cast<int>(rel);
+  while (fgets(line, sizeof(line), f)) {
+    if (sscanf(line, "%1023s %1023s %1023s %ld", qid, it, docid, &rel) == 4) {
+      (*qrels)[qid][docid] = static_cast<int>(rel);
+    }
   }
   fclose(f);
   return true;
@@ -49,14 +54,25 @@ bool read_qrels(const char* path, QrelMap* qrels) {
 bool read_run(const char* path, RunMap* run) {
   FILE* f = fopen(path, "r");
   if (!f) return false;
-  char qid[256], q0[256], docid[256], rest[256];
+  // python parse_run builds a dict per query (a repeated docid keeps its
+  // LAST score); mirror that here, then flatten to the ranked vectors
+  std::unordered_map<std::string, std::unordered_map<std::string, double>>
+      dedup;
+  char line[8192], qid[1024], q0[1024], docid[1024];
   long rank;
   double score;
-  while (fscanf(f, "%255s %255s %255s %ld %lf %255s", qid, q0, docid, &rank,
-                &score, rest) == 6) {
-    (*run)[qid].push_back({docid, score});
+  while (fgets(line, sizeof(line), f)) {
+    if (sscanf(line, "%1023s %1023s %1023s %ld %lf", qid, q0, docid, &rank,
+               &score) == 5) {
+      dedup[qid][docid] = score;
+    }
   }
   fclose(f);
+  for (auto& kv : dedup) {
+    auto& docs = (*run)[kv.first];
+    docs.reserve(kv.second.size());
+    for (auto& ds : kv.second) docs.push_back({ds.first, ds.second});
+  }
   return true;
 }
 

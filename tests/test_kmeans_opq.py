@@ -144,3 +144,21 @@ def test_balanced_kmeans_uniform_clusters(rng):
     assert bal_sizes.max() / bal_sizes.mean() < std_sizes.max() / std_sizes.mean(), \
         (std_sizes.tolist(), bal_sizes.tolist())
     assert np.isfinite(np.asarray(bal_cent)).all()
+
+
+def test_lloyd_chunked_matches_unchunked(rng, monkeypatch):
+    """The auto-chunked (N, K) path inside lloyd_step (HBM protection for
+    the MS MARCO-scale coarse build) must match the unchunked step to fp32
+    summation-order tolerance, including a row count that does NOT divide
+    the chunk size (the padded-row mask)."""
+    from repconc_tpu.index import kmeans as km
+
+    x = jnp.asarray(rng.normal(size=(1001, 16)).astype(np.float32))
+    init = jnp.asarray(rng.normal(size=(13, 16)).astype(np.float32))
+    want_c, want_mse = kmeans_fit_from(x, init, iters=4)
+    # rows = _CHUNK_ELEMS // K = 77 -> 13 uneven chunks with a padded tail
+    monkeypatch.setattr(km, "_CHUNK_ELEMS", 1000)
+    got_c, got_mse = kmeans_fit_from(x, init, iters=4)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(got_mse), float(want_mse), rtol=1e-5)

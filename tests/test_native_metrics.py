@@ -57,6 +57,38 @@ def test_wrapper_fallback(tmp_path, rng):
     assert "MRR@10" in m["mrr"]
 
 
+def test_malformed_lines_skipped_not_truncating(native_mod, tmp_path, rng):
+    """A malformed line must be SKIPPED — it must not stop the parse and
+    silently drop the rest of the file (the failure mode of a bare fscanf
+    loop), and a repeated (qid, docid) keeps its LAST score like python's
+    dict-based parse_run."""
+    qrel_path = tmp_path / "qrels.txt"
+    run_path = tmp_path / "run.tsv"
+    with open(qrel_path, "w") as f:
+        f.write("q1 0 d1 1\n")
+        f.write("malformed header line\n")      # no rel integer
+        f.write("\n")
+        f.write("q2 0 d2 1\n")                  # must still be parsed
+    with open(run_path, "w") as f:
+        f.write("q1\tQ0\td1\t1\t0.5\tSys\n")
+        f.write("q1\tQ0\td1\t2\t9.9\tSys\n")    # duplicate: last wins
+        f.write("q1\tQ0\td9\t3\t1.0\tSys\n")
+        f.write("bogus line without numeric fields\n")
+        f.write("q2\tQ0\td2\t1\t1.0\tSys\n")    # after the bogus line
+    got = native_mod.evaluate_files(str(qrel_path), str(run_path),
+                                    (10,), (10,), 1)
+    # q2 parsed despite the earlier malformed lines -> both queries count
+    assert got["num_queries"] == 2
+    # duplicate d1 kept its LAST score 9.9 > d9's 1.0 -> rank 1 for q1;
+    # with truncation-on-malformed q2 would be lost and MRR@10 would be 1.0
+    # from q1 alone — the average over both queries pins the dedupe too
+    assert abs(got["mrr"]["MRR@10"] - 1.0) < 1e-9
+    want = evaluate_run(
+        {"q1": {"d1": 1}, "q2": {"d2": 1}},
+        {"q1": {"d1": 9.9, "d9": 1.0}, "q2": {"d2": 1.0}}, (10,), (10,))
+    assert abs(got["mrr"]["MRR@10"] - want["mrr"]["MRR@10"]) < 1e-9
+
+
 def test_evaluate_run_auto_dispatch(native_mod, tmp_path, rng, monkeypatch):
     """evaluate_run with file paths above the size threshold must route to
     the native backend (empty perquery marks the native result)."""
