@@ -54,6 +54,12 @@ def build_parser():
                         choices=["auto", "pallas", "xla"],
                         help="IVF serving path: auto = the cell-grouped "
                              "Pallas kernel on TPU, XLA scan on CPU")
+    parser.add_argument("--lut_dtype", default="bf16",
+                        choices=["bf16", "int8"],
+                        help="Pallas IVF LUT precision: int8 = per-(query, "
+                             "group) quantized LUTs (the TPU analog of "
+                             "faiss's fp16-LUT mode one step further; ~1%% "
+                             "top-100 churn, halves LUT gather traffic)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="encode over all devices (batch dp-sharded) and "
                              "search with the index sharded over the mesh "
@@ -209,7 +215,8 @@ def main(argv=None):
             scores, row_ids = serve_search(ivf, query_embeds, topk=args.topk,
                                            nprobe=args.nprobe,
                                            search_batch=args.search_batch,
-                                           mode=args.serving, mesh=mesh)
+                                           mode=args.serving, mesh=mesh,
+                                           lut_dtype=args.lut_dtype)
         # -1 pad rows (score=-inf) must not wrap through corpus_ids; clamp —
         # write_run_tsv drops the non-finite entries.
         topk_ids = corpus_ids[np.maximum(row_ids, 0)]

@@ -382,6 +382,7 @@ def serve_search(
     search_batch: int = 1200,
     mode: str = "auto",
     mesh=None,
+    lut_dtype: str = "bf16",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Deployed IVF serving path: the cell-grouped Pallas kernel on TPU, the
     XLA scan elsewhere. This is what the eval CLIs call — the same kernel
@@ -392,6 +393,10 @@ def serve_search(
     interpret mode off-TPU, slow but exact), "xla".
     mesh: serve from a CELL-SHARDED index (1/W memory per device,
     ShardedPallasIVFIndex) instead of a device-resident copy.
+    lut_dtype: "int8" serves with per-(query, group) quantized LUTs — the
+    TPU analog of faiss's fp16-LUT mode one step further (~1% top-100
+    churn, halves LUT gather traffic); single-chip and sharded Pallas
+    paths. The XLA scan is the exact-scoring arm and ignores it (warning).
 
     Queries are served in fixed `search_batch` chunks, final short chunk
     padded, so every batch hits one jit cache entry (static shapes).
@@ -399,6 +404,10 @@ def serve_search(
     if mode == "auto":
         mode = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     if mode == "xla":
+        if lut_dtype != "bf16":
+            logger.warning("serve_search: lut_dtype=%s applies to the Pallas "
+                           "paths only; the XLA scan scores exact fp32 LUTs",
+                           lut_dtype)
         if mesh is not None:
             # honor the explicit XLA request: there is no mesh-sharded XLA
             # IVF scan, and silently serving with interpret-mode Pallas
@@ -428,7 +437,8 @@ def serve_search(
         real = qc.shape[0]
         if real < search_batch:
             qc = np.pad(qc, ((0, search_batch - real), (0, 0)))
-        s, i = searcher.search(qc, topk=topk, nprobe=nprobe)
+        s, i = searcher.search(qc, topk=topk, nprobe=nprobe,
+                               lut_dtype=lut_dtype)
         all_s.append(s[:real])
         all_i.append(i[:real])
     return np.concatenate(all_s, axis=0), np.concatenate(all_i, axis=0)

@@ -435,13 +435,17 @@ class ShardedPallasIVFIndex:
             self.spill.set_centroids(centroids)
 
     def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64,
-                      capacity_factor: float | None = -1.0):
+                      capacity_factor: float | None = -1.0,
+                      lut_dtype: str = "bf16"):
         """capacity_factor: -1.0 (default) uses the constructor's factor;
         None sizes the per-device tile grid for the ADVERSARIAL worst case
         (every pair owned by one device) — no overflow possible. Returned
         overflow is a device int32 counting dropped PAIRS (same unit as the
         single-chip path); search() retries at the worst-case shape when it
-        is positive."""
+        is positive. lut_dtype="int8" serves with per-(query, group)
+        quantized LUTs exactly like the single-chip path (quantization is
+        deterministic per query, so every device scores with identical
+        tables and the merge semantics are unchanged)."""
         q = jnp.asarray(query_embeds, dtype=jnp.float32)
         Q = q.shape[0]
         nprobe = min(nprobe, self.nlist)
@@ -454,17 +458,18 @@ class ShardedPallasIVFIndex:
         else:
             T_cap = (int(P_pairs * capacity_factor) // (W * QT_G)
                      + self.nlist_local + 1)
-        key = (Q, topk, nprobe, T_cap)
+        key = (Q, topk, nprobe, T_cap, lut_dtype)
         fn = self._fn_cache.get(key)
         if fn is None:  # one jit wrapper per config: a fresh wrapper per
             #             call would recompile every serving batch
-            fn = self._build_search_fn(Q, topk, nprobe, T_cap)
+            fn = self._build_search_fn(Q, topk, nprobe, T_cap, lut_dtype)
             self._fn_cache[key] = fn
         s, ids, overflow = fn(q, self.coarse, self.centroids,
                               self.cell_codes, self.cell_ids)
         return s, ids, overflow
 
-    def _build_search_fn(self, Q: int, topk: int, nprobe: int, T_cap: int):
+    def _build_search_fn(self, Q: int, topk: int, nprobe: int, T_cap: int,
+                         lut_dtype: str = "bf16"):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -503,14 +508,25 @@ class ShardedPallasIVFIndex:
             wid = jnp.where(valid, work_id, T_cap)
             row = wid * QT_G + slot
             work_cell = jnp.zeros((T_cap,), jnp.int32).at[wid].set(lc)
-            lut = permute_lut(build_lut(q, pq_cent), gm).astype(jnp.bfloat16)
+            lut = permute_lut(build_lut(q, pq_cent), gm)
             MK = lut.shape[1]
-            lut_z = jnp.concatenate([lut, jnp.zeros((1, MK), jnp.bfloat16)], 0)
+            if lut_dtype == "int8":
+                lut_i8, scales = quantize_lut_int8(lut, gm, K)
+                lut_z = jnp.concatenate(
+                    [lut_i8, jnp.zeros((1, MK), jnp.int8)], 0)
+                scales_z = jnp.concatenate(
+                    [scales, jnp.zeros((1, scales.shape[1]), jnp.float32)], 0)
+            else:
+                lut_z = jnp.concatenate(
+                    [lut.astype(jnp.bfloat16),
+                     jnp.zeros((1, MK), jnp.bfloat16)], 0)
+                scales_z = None
             qidx = jnp.full((T_cap * QT_G,), Q, jnp.int32).at[row].set(
                 jnp.where(valid, pair_q, Q))
             qidx = qidx.reshape(T_cap, QT_G)
 
-            scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_l, K)
+            scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_l, K,
+                                       scales_z=scales_z)
             scores_flat = scores.reshape(T_cap * QT_G, Lpad)
 
             # row/lc/valid were computed in q-major pair order — reshape
@@ -546,13 +562,16 @@ class ShardedPallasIVFIndex:
                                  in_specs=(P(), P(), P(), P(axis), P(axis)),
                                  out_specs=(P(), P(), P()), check_vma=False))
 
-    def search(self, query_embeds, topk: int = 1000, nprobe: int = 64):
-        s, i, overflow = self.search_device(query_embeds, topk, nprobe)
+    def search(self, query_embeds, topk: int = 1000, nprobe: int = 64,
+               lut_dtype: str = "bf16"):
+        s, i, overflow = self.search_device(query_embeds, topk, nprobe,
+                                            lut_dtype=lut_dtype)
         if int(overflow) > 0:
             # self-heal exactly like the single-chip path: rerun once at the
             # worst-case tile shape, where overflow is impossible
             s, i, _ = self.search_device(query_embeds, topk, nprobe,
-                                         capacity_factor=None)
+                                         capacity_factor=None,
+                                         lut_dtype=lut_dtype)
         return _merge_spill(np.asarray(s), np.asarray(i), self.spill,
                             getattr(self, "spill_ids", None), query_embeds,
                             topk)

@@ -217,3 +217,39 @@ def test_build_ivf_from_codes_full_probe_exact(built):
     s_ivf, i_ivf = search_xla(index, queries, topk=10, nprobe=index.nlist)
     s_flat, _ = adc_search(queries, codes, cent, topk=10)
     np.testing.assert_allclose(s_ivf, s_flat, rtol=1e-4, atol=1e-4)
+
+
+def test_serve_search_int8_lut():
+    """serve_search(lut_dtype="int8") — the eval CLI's --lut_dtype int8 —
+    must serve through the quantized-LUT kernel path: scores close to (but
+    not identical with) the bf16 serve, high top-k agreement, and the XLA
+    arm must ignore the flag (exact scores, with a warning)."""
+    from repconc_tpu.index.ivf import serve_search
+
+    rng = np.random.default_rng(13)
+    N, D, M, K = 2000, 32, 4, 32
+    centers = rng.normal(size=(16, D)).astype(np.float32) * 2
+    embeds = (centers[rng.integers(0, 16, N)] +
+              rng.normal(size=(N, D)).astype(np.float32) * 0.3)
+    cent, _ = pq_fit(jnp.asarray(embeds[:800]), M=M, K=K, iters=8)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
+    index = build_ivf(embeds, codes, cent, nlist=16, kmeans_iters=6)
+    queries = (embeds[rng.integers(0, N, 8)] +
+               rng.normal(size=(8, D)).astype(np.float32) * 0.1)
+
+    s_bf, i_bf = serve_search(index, queries, topk=10, nprobe=8,
+                              mode="pallas")
+    s_i8, i_i8 = serve_search(index, queries, topk=10, nprobe=8,
+                              mode="pallas", lut_dtype="int8")
+    assert not np.array_equal(s_bf, s_i8)  # quantization engaged
+    np.testing.assert_allclose(s_i8, s_bf, rtol=0.05, atol=0.05)
+    overlap = np.mean([len(set(i_bf[r]) & set(i_i8[r])) / 10
+                       for r in range(8)])
+    assert overlap > 0.8, overlap
+    # XLA arm: flag ignored, exact results
+    s_x, i_x = serve_search(index, queries, topk=10, nprobe=8, mode="xla",
+                            lut_dtype="int8")
+    s_x2, i_x2 = serve_search(index, queries, topk=10, nprobe=8, mode="xla")
+    np.testing.assert_array_equal(i_x, i_x2)
+    np.testing.assert_allclose(s_x, s_x2)

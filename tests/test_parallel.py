@@ -206,3 +206,33 @@ def test_sharded_pallas_ivf_pads_with_minus_one(mesh, rng):
         assert (i[r][empty] == -1).all(), i[r][empty][:5]
         real = i[r][~empty]
         assert len(set(real.tolist())) == len(real)  # no duplicate ids
+
+
+def test_sharded_pallas_ivf_int8_matches_single_int8(mesh, rng):
+    """int8-LUT quantization is deterministic per (query, group), so the
+    cell-sharded int8 search must match the single-chip int8 search: every
+    device scores with identical tables and the exact-top-k merge sees the
+    same score for every (query, doc) pair."""
+    from repconc_tpu.index.ivf import build_ivf
+    from repconc_tpu.index.kmeans import pq_fit, pq_encode_chunked
+    from repconc_tpu.index.pallas_ivf import (PallasIVFIndex,
+                                              ShardedPallasIVFIndex)
+
+    N, D, M, K = 3000, 32, 8, 16
+    embeds = rng.normal(size=(N, D)).astype(np.float32)
+    cent, _ = pq_fit(jnp.asarray(embeds[:1200]), M=M, K=K, iters=4)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=2048)
+    index = build_ivf(embeds, codes, cent, nlist=20, kmeans_iters=4)
+    queries = embeds[:8]
+    s1, i1 = ShardedPallasIVFIndex(mesh, index).search(
+        queries, topk=10, nprobe=5, lut_dtype="int8")
+    s2, i2 = PallasIVFIndex(index).search(
+        queries, topk=10, nprobe=5, lut_dtype="int8")
+    overlap = np.mean([len(set(i1[r]) & set(i2[r])) / 10 for r in range(8)])
+    assert overlap > 0.9, overlap  # ties may permute at quantized scores
+    finite = np.isfinite(s1) & np.isfinite(s2)
+    np.testing.assert_allclose(s1[finite], s2[finite], rtol=1e-4, atol=1e-4)
+    # and the quantization really engaged: int8 scores differ from bf16
+    s_bf, _ = PallasIVFIndex(index).search(queries, topk=10, nprobe=5)
+    assert not np.allclose(s_bf[np.isfinite(s_bf)], s2[np.isfinite(s2)])
