@@ -410,3 +410,24 @@ def test_ivf_eval_cli_and_stale_guard(env):
     run_repconc_eval.main(args + ["--nlist", "4"])
     z = np2.load(root / "conc_ivf" / "ivf_index.npz")
     assert z["coarse_centroids"].shape[0] == 4, "corrupt index not rebuilt"
+
+
+CLI_MODULES = [
+    "run_customize_dense", "run_dense_eval", "run_extract_hardneg",
+    "run_gen_valid_set", "run_ivf_sweep", "run_repconc_eval",
+    "run_train_conc", "run_train_dense", "run_train_jpq", "run_warmup",
+]
+
+
+@pytest.mark.parametrize("name", CLI_MODULES)
+def test_cli_help_formats(name, capsys):
+    """`--help` must render for every CLI: argparse %-formats help strings
+    lazily, so a stray bare '%' crashes at HELP time (and on every argparse
+    error message), not at definition time — caught live on --lut_dtype."""
+    import importlib
+
+    mod = importlib.import_module(f"repconc_tpu.cli.{name}")
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--help"])
+    assert e.value.code == 0
+    assert "usage:" in capsys.readouterr().out
