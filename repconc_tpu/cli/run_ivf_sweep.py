@@ -45,6 +45,12 @@ def main(argv=None):
     parser.add_argument("--balanced", action="store_true")
     parser.add_argument("--use_pallas", action="store_true",
                         help="serve with the TPU cell-grouped kernel")
+    parser.add_argument("--lut_dtype", default="bf16",
+                        choices=["bf16", "int8"],
+                        help="with --use_pallas: serve with quantized int8 "
+                             "LUTs — the sweep then measures the REAL-index "
+                             "recall churn of the int8 mode, not just its "
+                             "random-data churn")
     parser.add_argument("--out", default="sweep.json")
     args = parser.parse_args(argv)
     setup_logging()
@@ -78,7 +84,8 @@ def main(argv=None):
     for nprobe in [int(x) for x in args.nprobes.split(",")]:
         def run():
             if searcher is not None:
-                return searcher.search(queries, topk=args.topk, nprobe=nprobe)
+                return searcher.search(queries, topk=args.topk, nprobe=nprobe,
+                                       lut_dtype=args.lut_dtype)
             return search_xla(index, queries, topk=args.topk, nprobe=nprobe)
 
         run()  # warm the jit caches
@@ -98,6 +105,8 @@ def main(argv=None):
 
     with open(args.out, "w") as f:
         json.dump({"nlist": args.nlist, "topk": args.topk,
+                   "serving": ("pallas" if args.use_pallas else "xla"),
+                   "lut_dtype": args.lut_dtype if args.use_pallas else "fp32",
                    "results": results}, f, indent=1)
     logger.info("sweep -> %s", args.out)
 
