@@ -39,6 +39,11 @@ def build_parser():
     parser.add_argument("--similarity_metric", default=None)
     parser.add_argument("--pooling", default=None)
     parser.add_argument("--per_device_eval_batch_size", type=int, default=256)
+    parser.add_argument("--relevance_level", type=int, default=1,
+                        help="minimum qrel grade counted relevant for the "
+                             "binary metrics (TREC DL graded qrels use 2; "
+                             "reference eval_utils.py:149 parameter, here "
+                             "on the CLI)")
     parser.add_argument("--topk", type=int, default=100)
     parser.add_argument("--search_batch", type=int, default=1200)
     parser.add_argument("--adapter", default=None,
@@ -170,9 +175,11 @@ def main(argv=None):
     if args.qrel_path is None:
         return
     if args.data_format == "msmarco":
-        metrics = evaluate_run(args.qrel_path, out_run_path)
+        metrics = evaluate_run(args.qrel_path, out_run_path,
+                               relevance_level=args.relevance_level)
     else:
-        metrics = evaluate_run(load_beir_qrels(args.qrel_path), out_run_path)
+        metrics = evaluate_run(load_beir_qrels(args.qrel_path), out_run_path,
+                               relevance_level=args.relevance_level)
     for k, v in metrics.items():
         if k != "perquery":
             logger.info("%s", v)
