@@ -200,7 +200,13 @@ def balanced_kmeans_fit(
     constraint — the same constrained-clustering idea RepCONC applies to PQ
     codebooks, reused for the IVF coarse quantizer. Near-uniform cluster
     sizes mean tight static posting-list padding on TPU (small Lpad, little
-    waste, no spill blowup). Returns (centroids (K, d), balanced mse)."""
+    waste, no spill blowup). Returns (centroids (K, d), balanced mse).
+
+    Memory note: unlike the plain lloyd_step (row-chunked above
+    _CHUNK_ELEMS), the Sinkhorn constraint couples ALL rows through its
+    column marginals, so the full (N, K) cost matrix is materialized here —
+    at the MS MARCO-scale coarse build (262k x 5000, ~5 GB fp32) prefer the
+    default unbalanced build or shrink max_train_points."""
     from repconc_tpu.quant.sinkhorn import sinkhorn_assign
 
     if key is None:
