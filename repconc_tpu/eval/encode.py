@@ -128,9 +128,15 @@ def encode_texts(
     # re-transferred on EVERY call — ~370 MB/batch through this
     # environment's ~10 MB/s host<->device tunnel (measured: 31 docs/s
     # instead of ~3,000 before this line).
+    n = len(texts)
+    if n == 0:  # an empty query/corpus file: return the right shape instead
+        #         of np.concatenate([]) exploding three layers down
+        width = (config.MCQ_M if output == "code"
+                 else config.encoder.hidden_size)
+        dtype = np.uint8 if output == "code" else np.float32
+        return np.zeros((0, width), dtype=dtype)
     fn, params = (prepared if prepared is not None
                   else prepare_encoder(config, params, output, mesh=mesh))
-    n = len(texts)
     pad_id = config.encoder.pad_token_id
     outs = []
     from repconc_tpu.core.profiling import Stopwatch

@@ -138,3 +138,19 @@ def test_clear_encode_cache(tiny_model, corpus, tmp_path):
     assert not os.path.exists(cache)
     clear_encode_cache(cache)  # idempotent
     clear_encode_cache(None)
+
+
+def test_encode_empty_inputs(tiny_model):
+    """An empty corpus/query dict returns a correctly-shaped empty array
+    (uint8 (0, M) codes / fp32 (0, D) embeds) instead of np.concatenate([])
+    exploding three layers down."""
+    from repconc_tpu.eval.encode import encode_queries
+
+    config, params, tokenizer = tiny_model
+    codes, ids = encode_corpus({}, config, params, tokenizer, 32,
+                               batch_size=8, output="code")
+    assert codes.shape == (0, config.MCQ_M) and codes.dtype == np.uint8
+    assert len(ids) == 0
+    emb, qids = encode_queries({}, config, params, tokenizer, 32, batch_size=8)
+    assert emb.shape == (0, config.encoder.hidden_size)
+    assert emb.dtype == np.float32 and len(qids) == 0
