@@ -79,6 +79,7 @@ case $STAGE in
     --max_query_len ${MAX_QUERY_LEN:-16} --max_doc_len ${MAX_DOC_LEN:-128} \
     --per_device_train_batch_size ${DENSE_BATCH:-256} \
     --negative random --negative_per_query ${DENSE_NEGS:-1} \
+    --max_positives ${MAX_POSITIVES:-8} \
     --learning_rate ${DENSE_LR:-1e-4} --warmup_steps ${DENSE_WARMUP:-100} \
     --cache_chunk_size ${CACHE_CHUNK:-128} \
     --max_steps ${DENSE_STEPS:-2000} \

@@ -53,6 +53,11 @@ def build_parser():
     parser.add_argument("--negative", default="random",
                         help="inbatch | random | path to hard-neg json")
     parser.add_argument("--negative_per_query", type=int, default=1)
+    parser.add_argument("--max_positives", type=int, default=8,
+                        help="padded per-query positives list driving the "
+                             "in-batch false-negative mask; set to the "
+                             "dataset's max qrels length for exact mask "
+                             "semantics under densely-judged qrels")
     # training
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--per_device_train_batch_size", type=int, default=256)
@@ -100,8 +105,10 @@ def main(argv=None):
     dataset = QDRelDataset(
         args.qrel_path, args.query_path, args.corpus_path,
         negative=args.negative, negative_per_query=args.negative_per_query,
-        sep_token=tokenizer.sep_token or "[SEP]")
-    collator = FinetuneCollator(tokenizer, args.max_query_len, args.max_doc_len)
+        sep_token=tokenizer.sep_token or "[SEP]",
+        max_positives=args.max_positives)
+    collator = FinetuneCollator(tokenizer, args.max_query_len, args.max_doc_len,
+                                max_positives=args.max_positives)
 
     hp = stage1.Stage1Hparams(
         learning_rate=args.learning_rate,
