@@ -138,6 +138,12 @@ def main():
                    f"SMOKE_ivfpq{M}_nlist{NLIST}_{NLIST * LPAD}docs"),
         "value": round(qps, 2),
         "unit": "queries/s/chip",
+        # methodology tag: rounds 1-2 measured depth-1 (one readback barrier
+        # per batch, tunnel round trip counted each batch); round 3+ measures
+        # steady-state with PIPELINE_DEPTH batches in flight and one barrier.
+        # Cross-round JSON values are only comparable at equal pipeline_depth.
+        "methodology": "pipelined_dispatch",
+        "pipeline_depth": PIPELINE_DEPTH,
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "vs_baseline_note": "estimate: assumed 1500-QPS faiss V100 brute "
                             "PQ48 scan; reference publishes no QPS table",

@@ -57,6 +57,22 @@ def test_wrapper_fallback(tmp_path, rng):
     assert "MRR@10" in m["mrr"]
 
 
+def test_no_toolchain_falls_back_to_python(tmp_path, rng, monkeypatch):
+    """With no compiler and no cached .so (the .so is NOT checked into git;
+    it is built on demand), load() must return None and evaluate_files must
+    produce the pure-Python result."""
+    monkeypatch.setattr(native, "_module", None)
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_SO_PATH",
+                        str(tmp_path / "nonexistent" / "_trec_native.so"))
+    monkeypatch.setattr(native, "_build", lambda: False)
+    assert native.load() is None
+    qrel_path, run_path = make_files(tmp_path, rng, nq=5)
+    got = native.evaluate_files(qrel_path, run_path, (10,), (10,))
+    want = evaluate_run(qrel_path, run_path, (10,), (10,))
+    assert abs(got["mrr"]["MRR@10"] - want["mrr"]["MRR@10"]) < 1e-9
+
+
 def test_malformed_lines_skipped_not_truncating(native_mod, tmp_path, rng):
     """A malformed line must be SKIPPED — it must not stop the parse and
     silently drop the rest of the file (the failure mode of a bare fscanf
