@@ -7,7 +7,16 @@ and generated ON DEVICE (the host tunnel moves ~10 MB/s); throughput
 depends on layout shape, not code values.
 
 Usage: python recipes/bench_ivf_scale.py [--nprobes 16,64,128]
+                                         [--batches 1200,4800]
                                          [--lut_dtype bf16|int8|both]
+
+--batches sweeps the serving batch size: at 8.8M docs / low nprobe the
+1,200-query batch collectively probes ~all cells, so per-cell decode cost
+is amortized over too few pairs — larger batches amortize it further
+(round-3 analysis measured 9,110 QPS at batch 4,800 vs 3,971 at 1,200 for
+nprobe=16); this makes that a first-class config instead of an ad-hoc note.
+--pipeline_depth N uses bench.py's steady-state methodology (N batches in
+flight, ONE readback barrier) so numbers compare 1:1 with the headline.
 
 --lut_dtype both A/B-tests the quantized-LUT serving path (int8 LUT rows +
 int8 one-hot scratch -> MXU s8xs8 contraction) against the default bf16 at
@@ -26,6 +35,10 @@ def main():
     ap.add_argument("--nprobes", default="16,64,128")
     ap.add_argument("--nlist", type=int, default=5000)
     ap.add_argument("--lpad", type=int, default=2048)
+    ap.add_argument("--batches", default=None,
+                    help="comma list of serving batch sizes "
+                         "(default: just --n_queries)")
+    ap.add_argument("--pipeline_depth", type=int, default=4)
     ap.add_argument("--n_queries", type=int, default=1200)
     ap.add_argument("--topk", type=int, default=1000)
     ap.add_argument("--lut_dtype", default="bf16",
@@ -56,14 +69,20 @@ def main():
     cell_ids = jnp.arange(nlist * lpad, dtype=jnp.int32).reshape(nlist, lpad)
     coarse = jax.random.normal(k2, (nlist, D), dtype=jnp.float32)
     centroids = jax.random.normal(k3, (M, K, D // M), dtype=jnp.float32)
-    queries = jax.random.normal(k4, (args.n_queries, D), dtype=jnp.float32)
+    batches = ([int(x) for x in args.batches.split(",")]
+               if args.batches else [args.n_queries])
+    queries_full = jax.random.normal(k4, (max(batches), D), dtype=jnp.float32)
     n_docs = nlist * lpad
     print(f"index: {n_docs/1e6:.1f}M padded slots, "
-          f"{n_docs*M/2**30:.2f} GiB uint8 codes")
+          f"{n_docs*M/2**30:.2f} GiB uint8 codes; "
+          f"pipeline_depth={args.pipeline_depth}")
 
-    for nprobe in [int(x) for x in args.nprobes.split(",")]:
-        T_worst = (args.n_queries * nprobe) // QT_G + nlist + 1
-        T_max = min(T_worst, _tile_budget(args.n_queries, nprobe, nlist, 1.35))
+    for n_queries, nprobe in ((b, p) for b in batches
+                              for p in [int(x)
+                                        for x in args.nprobes.split(",")]):
+        queries = queries_full[:n_queries]
+        T_worst = (n_queries * nprobe) // QT_G + nlist + 1
+        T_max = min(T_worst, _tile_budget(n_queries, nprobe, nlist, 1.35))
 
         @functools.partial(jax.jit, static_argnames=("nprobe", "T_max",
                                                      "lut_dtype"))
@@ -83,14 +102,24 @@ def main():
 
             v = run()  # compile
             assert abs(v) < 1e29, "tile-capacity overflow"
+            depth = args.pipeline_depth
             ts = []
             for _ in range(3):
+                # steady-state: `depth` dispatches, one readback barrier
+                # (single-core TPU executes in dispatch order; bench.py's
+                # methodology, so rows compare 1:1 with the headline)
                 t0 = time.perf_counter()
-                run()
+                outs = [fused(queries, centroids, coarse, cell_codes,
+                              cell_ids, nprobe=nprobe, T_max=T_max,
+                              lut_dtype=lut_dtype) for _ in range(depth)]
+                barrier = float(outs[-1])
                 ts.append(time.perf_counter() - t0)
-            qps = args.n_queries / min(ts)
-            print(f"nprobe={nprobe:4d} lut={lut_dtype}: {qps:8.0f} QPS/chip "
-                  f"({min(ts)*1e3:.1f} ms/batch incl tunnel)")
+                assert all(abs(float(o)) < 1e29 for o in outs[:-1]) and \
+                    abs(barrier) < 1e29, "tile-capacity overflow"
+            qps = depth * n_queries / min(ts)
+            print(f"batch={n_queries:5d} nprobe={nprobe:4d} "
+                  f"lut={lut_dtype}: {qps:8.0f} QPS/chip "
+                  f"({min(ts)/depth*1e3:.1f} ms/batch steady-state)")
 
 
 if __name__ == "__main__":

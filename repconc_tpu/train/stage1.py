@@ -345,6 +345,7 @@ def train(
                            "starting from step 0", e)
 
     step_fn = make_train_step(config, hp, tx)
+    data = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -356,6 +357,9 @@ def train(
     else:
         step_fn = jax.jit(step_fn)
     health_fn = make_quant_health_fn(config)
+    # Checkpoints/exports are written by process 0 only (on single-process
+    # meshes every rank IS process 0, so this is a no-op there).
+    is_main = jax.process_index() == 0
 
     rng = jax.random.key(hp.seed)
     log = log_fn or (lambda d: logger.info("%s", d))
@@ -364,7 +368,21 @@ def train(
     for batch in batches:
         if step >= hp.total_steps:
             break
-        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if data is not None:
+            # Multi-host (DCN): each process loads the full global batch
+            # (datasets are host-replicated, iteration is seed-deterministic)
+            # and feeds only its contiguous block of rows to its own chips;
+            # make_array_from_process_local_data assembles the global array.
+            # Single-process meshes take the plain sharded device_put path.
+            from repconc_tpu.core.distributed import (process_slice,
+                                                      shard_host_batch)
+
+            if jax.process_count() > 1:
+                batch = {k: np.asarray(v)[process_slice(len(v))]
+                         for k, v in batch.items()}
+            dev_batch = shard_host_batch(data, batch)
+        else:
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         params, opt_state, metrics, rng = step_fn(params, opt_state, dev_batch, rng)
         step += 1
         if hp.logging_steps and step % hp.logging_steps == 0:
@@ -387,16 +405,20 @@ def train(
             score = eval_m.get(metric_for_best, 0.0)
             if score > best:
                 best = score
-                repconc_model.save_pretrained(
-                    os.path.join(output_dir, "best"), config, params)
-                if tokenizer is not None:
-                    tokenizer.save_pretrained(os.path.join(output_dir, "best"))
-        if hp.save_steps and step % hp.save_steps == 0:
+                if is_main:  # multi-host: one writer per shared artifact dir
+                    repconc_model.save_pretrained(
+                        os.path.join(output_dir, "best"), config, params)
+                    if tokenizer is not None:
+                        tokenizer.save_pretrained(
+                            os.path.join(output_dir, "best"))
+        if hp.save_steps and step % hp.save_steps == 0 and is_main:
             save_train_state(ckpt_dir, params, opt_state, step, best)
 
-    save_train_state(ckpt_dir, params, opt_state, step, best)
-    repconc_model.save_pretrained(os.path.join(output_dir, "final"), config, params)
-    if tokenizer is not None:
-        tokenizer.save_pretrained(os.path.join(output_dir, "final"))
+    if is_main:
+        save_train_state(ckpt_dir, params, opt_state, step, best)
+        repconc_model.save_pretrained(
+            os.path.join(output_dir, "final"), config, params)
+        if tokenizer is not None:
+            tokenizer.save_pretrained(os.path.join(output_dir, "final"))
     return {"params": params, "step": step, "best_metric": best,
             "history": history}
