@@ -70,7 +70,9 @@ def main():
     from repconc_tpu.index.ivf import IVFIndex
     from repconc_tpu.index.pallas_ivf import PallasIVFIndex
 
-    from repconc_tpu.index.pallas_ivf import _ivf_search_device, _tile_budget
+    from repconc_tpu.index.pallas_ivf import (_ivf_search_device,
+                                              _ivf_search_device_decoded,
+                                              _tile_budget, decode_cells)
 
     rng = np.random.default_rng(0)
     index = IVFIndex(
@@ -128,7 +130,40 @@ def main():
         return dt
 
     times = [run_pipelined(PIPELINE_DEPTH) for _ in range(3)]
-    qps = PIPELINE_DEPTH * N_QUERIES / min(times)
+    adc_qps = PIPELINE_DEPTH * N_QUERIES / min(times)
+
+    # ---- decoded-residency serving: same index, same results to bf16 ----
+    # precision (ADC's LUT sum IS dot(query, reconstruction)); bf16
+    # reconstructions stay HBM-resident (1.6 GB at this config) and each
+    # work tile is ONE fat MXU matmul — no one-hot VPU build, no LUT
+    # gather. The serving-mode choice is a documented memory/speed trade
+    # (PallasIVFIndex docstring); both modes are reported below.
+    cell_vecs = decode_cells(pidx.cell_codes, pidx.centroids)
+
+    @jax.jit
+    def searched_sum_decoded(q, coarse, vecs, cell_ids):
+        s, i, overflow = _ivf_search_device_decoded(
+            q, coarse, vecs, cell_ids, NPROBE, TOPK, T_max)
+        return (jnp.sum(s) + i[0, 0].astype(jnp.float32)
+                + overflow.astype(jnp.float32) * 1e30)
+
+    def run_pipelined_decoded(depth):
+        t0 = time.perf_counter()
+        outs = [searched_sum_decoded(queries, pidx.coarse, cell_vecs,
+                                     pidx.cell_ids) for _ in range(depth)]
+        barrier = float(outs[-1])
+        dt = time.perf_counter() - t0
+        sentinels = [float(o) for o in outs[:-1]] + [barrier]
+        assert all(abs(v) < 1e29 for v in sentinels), \
+            "tile-capacity overflow; results not exact"
+        return dt
+
+    assert abs(float(searched_sum_decoded(
+        queries, pidx.coarse, cell_vecs, pidx.cell_ids))) < 1e29
+    times_d = [run_pipelined_decoded(PIPELINE_DEPTH) for _ in range(3)]
+    decoded_qps = PIPELINE_DEPTH * N_QUERIES / min(times_d)
+
+    qps = max(adc_qps, decoded_qps)
 
     print(json.dumps({
         # name kept identical across rounds (BENCH_r0N.json comparability);
@@ -141,9 +176,16 @@ def main():
         # methodology tag: rounds 1-2 measured depth-1 (one readback barrier
         # per batch, tunnel round trip counted each batch); round 3+ measures
         # steady-state with PIPELINE_DEPTH batches in flight and one barrier.
-        # Cross-round JSON values are only comparable at equal pipeline_depth.
+        # Cross-round JSON values are only comparable at equal pipeline_depth
+        # AND equal serving_mode (round 4 adds decoded residency — identical
+        # results to bf16 precision, different HBM footprint; adc_qps is the
+        # same-engine number comparable with BENCH_r03).
         "methodology": "pipelined_dispatch",
         "pipeline_depth": PIPELINE_DEPTH,
+        "serving_mode": ("decoded_bf16" if decoded_qps >= adc_qps
+                         else "adc_bf16"),
+        "adc_qps": round(adc_qps, 2),
+        "decoded_qps": round(decoded_qps, 2),
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "vs_baseline_note": "estimate: assumed 1500-QPS faiss V100 brute "
                             "PQ48 scan; reference publishes no QPS table",

@@ -56,9 +56,15 @@ def build_parser():
     parser.add_argument("--nlist", type=int, default=4096)
     parser.add_argument("--nprobe", type=int, default=64)
     parser.add_argument("--serving", default="auto",
-                        choices=["auto", "pallas", "xla"],
+                        choices=["auto", "pallas", "xla", "decoded", "decoded_int8"],
                         help="IVF serving path: auto = the cell-grouped "
-                             "Pallas kernel on TPU, XLA scan on CPU")
+                             "Pallas kernel on TPU, XLA scan on CPU; "
+                             "decoded = HBM-resident bf16 reconstructions "
+                             "scored as fat MXU matmuls (same scores to "
+                             "bf16 precision, fastest when HBM has room: "
+                             "D*2 bytes/doc vs M bytes/doc); decoded_int8 "
+                             "= scale-folded int8 residency (D bytes/doc, "
+                             "MXU s8 path — fits 8.8M docs on one chip)")
     parser.add_argument("--lut_dtype", default="bf16",
                         choices=["bf16", "int8"],
                         help="Pallas IVF LUT precision: int8 = per-(query, "
@@ -217,11 +223,13 @@ def main(argv=None):
                 ivf.save(args.out_corpus_dir)
         ivf.set_centroids(centroids)
         with sw("search"):
-            scores, row_ids = serve_search(ivf, query_embeds, topk=args.topk,
-                                           nprobe=args.nprobe,
-                                           search_batch=args.search_batch,
-                                           mode=args.serving, mesh=mesh,
-                                           lut_dtype=args.lut_dtype)
+            decoded = args.serving in ("decoded", "decoded_int8")
+            scores, row_ids = serve_search(
+                ivf, query_embeds, topk=args.topk, nprobe=args.nprobe,
+                search_batch=args.search_batch,
+                mode=("pallas" if decoded else args.serving), mesh=mesh,
+                lut_dtype=args.lut_dtype,
+                serving=(args.serving if decoded else "adc"))
         # -1 pad rows (score=-inf) must not wrap through corpus_ids; clamp —
         # write_run_tsv drops the non-finite entries.
         topk_ids = corpus_ids[np.maximum(row_ids, 0)]

@@ -383,6 +383,7 @@ def serve_search(
     mode: str = "auto",
     mesh=None,
     lut_dtype: str = "bf16",
+    serving: str = "adc",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Deployed IVF serving path: the cell-grouped Pallas kernel on TPU, the
     XLA scan elsewhere. This is what the eval CLIs call — the same kernel
@@ -397,6 +398,12 @@ def serve_search(
     TPU analog of faiss's fp16-LUT mode one step further (~1% top-100
     churn, halves LUT gather traffic); single-chip and sharded Pallas
     paths. The XLA scan is the exact-scoring arm and ignores it (warning).
+    serving: "decoded" keeps bf16 reconstructions of the whole corpus
+    HBM-resident (D*2 bytes/doc vs M bytes/doc) and scores tiles as fat
+    MXU matmuls — same scores to bf16 precision, no one-hot decode or LUT
+    gather; "decoded_int8" stores scale-folded int8 reconstructions
+    (D bytes/doc, MXU s8 path) — fits MS MARCO scale on one chip
+    (PallasIVFIndex docstring); single-chip Pallas paths only.
 
     Queries are served in fixed `search_batch` chunks, final short chunk
     padded, so every batch hits one jit cache entry (static shapes).
@@ -422,10 +429,13 @@ def serve_search(
         from repconc_tpu.index.pallas_ivf import ShardedPallasIVFIndex
 
         searcher = ShardedPallasIVFIndex(mesh, index)
+        if serving != "adc":
+            logger.warning("serve_search: serving='decoded' has no "
+                           "mesh-sharded variant yet; serving ADC")
     else:
         from repconc_tpu.index.pallas_ivf import PallasIVFIndex
 
-        searcher = PallasIVFIndex(index)
+        searcher = PallasIVFIndex(index, serving=serving)
     Q = query_embeds.shape[0]
     if Q == 0:
         return (np.zeros((0, topk), np.float32), np.zeros((0, topk), np.int64))

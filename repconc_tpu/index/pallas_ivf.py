@@ -265,6 +265,77 @@ def _tile_budget(Q: int, nprobe: int, nlist: int,
     return min(t_worst, int(capacity_factor * t_est) + 8)
 
 
+def _group_pairs(cells, Q: int, nlist: int, nprobe: int, T_max: int):
+    """Sort-free grouping of the (query, cell) probe pairs into work tiles.
+
+    Grouping P = Q*nprobe pairs by cell does NOT need the 77k-element
+    argsort (its bitonic lowering costs ~13 ms at serving shapes): cells
+    within one query are DISTINCT (probe_cells = top-k positions), so a
+    pair's stable rank inside its cell is "how many earlier queries
+    probed this cell" — an exclusive cumsum over the (Q, nlist) 0/1
+    incidence matrix (19 MB at serving shapes, two orders of magnitude
+    cheaper than the sort). Tile layout (cell-ascending, query-stable
+    within cell) is identical to what the stable sort produced.
+
+    Returns (pair_q, row, work_cell, qidx, overflow):
+      row (P,) — each pair's slot row (work_id * QT_G + slot), q-major;
+      work_cell (T_max,) — tile -> cell id;
+      qidx (T_max, QT_G) — slot -> query id, Q for empty slots (callers
+      append a zero row at index Q of whatever per-query table they DMA);
+      overflow — count of pairs whose tile fell past the T_max budget
+      (their scatters drop OOB; candidates are masked by the caller).
+    """
+    pair_cell = cells.reshape(-1)                                 # (P,)
+    pair_q = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), nprobe)
+
+    incidence = jnp.zeros((Q, nlist), jnp.int32).at[
+        pair_q, pair_cell].set(1)
+    counts = jnp.sum(incidence, axis=0)                          # (nlist,)
+    rank = jnp.take((jnp.cumsum(incidence, axis=0) - incidence).reshape(-1),
+                    pair_q * nlist + pair_cell)                  # (P,)
+
+    tiles_per_cell = -(-counts // QT_G)                          # ceil
+    tiles_before = jnp.cumsum(tiles_per_cell) - tiles_per_cell
+    # pairs in tiles past T_max (possible when T_max is a capacity budget,
+    # not the worst case): their scatters drop (OOB), their candidate rows
+    # are masked by the caller, and the overflow count says to retry.
+    # Unit: dropped PAIRS (same unit as ShardedPallasIVFIndex's overflow).
+    work_id = jnp.take(tiles_before, pair_cell) + rank // QT_G   # (P,)
+    overflow = jnp.sum((work_id >= T_max).astype(jnp.int32))
+    slot = rank % QT_G
+    row = work_id * QT_G + slot                                  # pair -> slot row
+
+    work_cell = jnp.zeros((T_max,), dtype=jnp.int32)
+    work_cell = work_cell.at[work_id].set(pair_cell)            # last write wins (same cell)
+    qidx = jnp.full((T_max * QT_G,), Q, dtype=jnp.int32).at[row].set(pair_q)
+    return pair_q, row, work_cell, qidx.reshape(T_max, QT_G), overflow
+
+
+def _regroup_topk(scores_flat, row, cells, cell_ids, T_max: int, Q: int,
+                  nprobe: int, topk: int):
+    """Gather each query's candidate rows, mask padding, exact top-k.
+
+    row was computed in q-major pair order, so the regroup is a reshape."""
+    Lpad = cell_ids.shape[1]
+    rows_per_query = row.reshape(Q, nprobe)
+
+    row_ok = rows_per_query < T_max * QT_G                      # (Q, nprobe)
+    cand_scores = jnp.take(
+        scores_flat,
+        jnp.clip(rows_per_query, 0, T_max * QT_G - 1).reshape(-1), axis=0)
+    cand_scores = cand_scores.reshape(Q, nprobe, Lpad)
+    cand_scores = jnp.where(row_ok[:, :, None], cand_scores, -jnp.inf)
+    cand_scores = cand_scores.reshape(Q, nprobe * Lpad)
+    cand_ids = jnp.take(cell_ids, cells.reshape(-1), axis=0)
+    cand_ids = cand_ids.reshape(Q, nprobe * Lpad)
+    cand_scores = jnp.where(cand_ids >= 0, cand_scores, -jnp.inf)
+
+    k = min(topk, cand_scores.shape[1])
+    s, pos = jax.lax.approx_max_k(cand_scores, k, recall_target=1.0)
+    ids = jnp.take_along_axis(cand_ids, pos, axis=1)
+    return s, ids
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "topk", "K", "T_max",
                                               "lut_dtype"))
 def _ivf_search_device(
@@ -283,39 +354,10 @@ def _ivf_search_device(
     nlist, Lpad, M = cell_codes_u8.shape
     gm = _group_size(M, K)
 
-    # ---- probe + pair construction (sort-free) -------------------------
-    # Grouping P = Q*nprobe pairs by cell does NOT need the 77k-element
-    # argsort (its bitonic lowering costs ~13 ms at serving shapes): cells
-    # within one query are DISTINCT (probe_cells = top-k positions), so a
-    # pair's stable rank inside its cell is "how many earlier queries
-    # probed this cell" — an exclusive cumsum over the (Q, nlist) 0/1
-    # incidence matrix (19 MB at serving shapes, two orders of magnitude
-    # cheaper than the sort). Tile layout (cell-ascending, query-stable
-    # within cell) is identical to what the stable sort produced.
+    # ---- probe + pair construction (sort-free; see _group_pairs) --------
     cells = probe_cells(query_embeds, coarse_centroids, nprobe)  # (Q, nprobe)
-    pair_cell = cells.reshape(-1)                                 # (P,)
-    pair_q = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), nprobe)
-    P = pair_cell.shape[0]
-
-    incidence = jnp.zeros((Q, nlist), jnp.int32).at[
-        pair_q, pair_cell].set(1)
-    counts = jnp.sum(incidence, axis=0)                          # (nlist,)
-    rank = jnp.take((jnp.cumsum(incidence, axis=0) - incidence).reshape(-1),
-                    pair_q * nlist + pair_cell)                  # (P,)
-
-    tiles_per_cell = -(-counts // QT_G)                          # ceil
-    tiles_before = jnp.cumsum(tiles_per_cell) - tiles_per_cell
-    # pairs in tiles past T_max (possible when T_max is a capacity budget,
-    # not the worst case): their scatters drop (OOB), their candidate rows
-    # are masked below, and the overflow count tells the caller to retry.
-    # Unit: dropped PAIRS (same unit as ShardedPallasIVFIndex's overflow).
-    work_id = jnp.take(tiles_before, pair_cell) + rank // QT_G   # (P,)
-    overflow = jnp.sum((work_id >= T_max).astype(jnp.int32))
-    slot = rank % QT_G
-    row = work_id * QT_G + slot                                  # pair -> slot row
-
-    work_cell = jnp.zeros((T_max,), dtype=jnp.int32)
-    work_cell = work_cell.at[work_id].set(pair_cell)            # last write wins (same cell)
+    pair_q, row, work_cell, qidx, overflow = _group_pairs(
+        cells, Q, nlist, nprobe, T_max)
 
     # ---- tiny slot->query map; LUT rows are DMA'd inside the kernel ----
     lut = permute_lut(build_lut(query_embeds, pq_centroids), gm)  # (Q, MK) f32
@@ -331,33 +373,187 @@ def _ivf_search_device(
             [lut.astype(jnp.bfloat16), jnp.zeros((1, MK), jnp.bfloat16)],
             axis=0)
         scales_z = None
-    qidx = jnp.full((T_max * QT_G,), Q, dtype=jnp.int32).at[row].set(pair_q)
-    qidx = qidx.reshape(T_max, QT_G)
 
     # ---- score all work tiles on the MXU --------------------------------
     scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_u8, K,
                                scales_z=scales_z)
     scores_flat = scores.reshape(T_max * QT_G, Lpad)
 
-    # ---- regroup per query ----------------------------------------------
-    # row was computed in q-major pair order, so the regroup is a reshape
-    rows_per_query = row.reshape(Q, nprobe)
-    cells_per_query = cells
+    # ---- regroup per query + exact top-k ---------------------------------
+    s, ids = _regroup_topk(scores_flat, row, cells, cell_ids, T_max, Q,
+                           nprobe, topk)
+    return s, ids, overflow
 
-    row_ok = rows_per_query < T_max * QT_G                      # (Q, nprobe)
-    cand_scores = jnp.take(
-        scores_flat,
-        jnp.clip(rows_per_query, 0, T_max * QT_G - 1).reshape(-1), axis=0)
-    cand_scores = cand_scores.reshape(Q, nprobe, Lpad)
-    cand_scores = jnp.where(row_ok[:, :, None], cand_scores, -jnp.inf)
-    cand_scores = cand_scores.reshape(Q, nprobe * Lpad)
-    cand_ids = jnp.take(cell_ids, cells_per_query.reshape(-1), axis=0)
-    cand_ids = cand_ids.reshape(Q, nprobe * Lpad)
-    cand_scores = jnp.where(cand_ids >= 0, cand_scores, -jnp.inf)
 
-    k = min(topk, cand_scores.shape[1])
-    s, pos = jax.lax.approx_max_k(cand_scores, k, recall_target=1.0)
-    ids = jnp.take_along_axis(cand_ids, pos, axis=1)
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def decode_cells(cell_codes_u8, pq_centroids, chunk: int = 64):
+    """Reconstruct every cell's documents: (nlist, Lpad, M) u8 -> (nlist,
+    Lpad, D) bf16, lax.map-chunked over cells so the intermediate stays
+    ~chunk*Lpad*D f32. Built once at serving-enable time (decoded
+    residency); bf16 storage is the same precision class as the ADC
+    kernel's bf16 LUT."""
+    from repconc_tpu.quant.codebook import decode_gather
+
+    nlist, Lpad, M = cell_codes_u8.shape
+    npad = ((nlist + chunk - 1) // chunk) * chunk
+    codes_p = jnp.pad(cell_codes_u8, ((0, npad - nlist), (0, 0), (0, 0)))
+
+    def dec(codes_c):  # (chunk, Lpad, M)
+        flat = decode_gather(codes_c.reshape(chunk * Lpad, M), pq_centroids)
+        return flat.reshape(chunk, Lpad, -1).astype(jnp.bfloat16)
+
+    out = jax.lax.map(dec, codes_p.reshape(npad // chunk, chunk, Lpad, M))
+    return out.reshape(npad, Lpad, -1)[:nlist]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def decode_cells_int8(cell_codes_u8, pq_centroids, chunk: int = 64):
+    """int8 decoded residency: (nlist, Lpad, D) int8 + a per-DIM doc scale.
+
+    Per-dim scales cannot be factored out of an integer dot product on the
+    doc side — but they CAN be folded into the QUERY: with x8_d =
+    round(x_d / s_d) and q'_d = q_d * s_d quantized per query at scale sq,
+    sum_d q_d x_d ~= sq * sum_d q8_d x8_d exactly factorizes, so the whole
+    tile scores on the MXU s8 x s8 -> s32 path (2x bf16 throughput on
+    v5e) and the store is D bytes/doc — 7.9 GB at MS MARCO's 8.8M docs,
+    which FITS one chip where bf16 residency (15.7 GB) does not.
+
+    s_d = max_cell |x̂_d| / 127 over the reconstruction table itself (the
+    decode is from a finite codebook, so the max is exact, not sampled)."""
+    from repconc_tpu.quant.codebook import decode_gather
+
+    nlist, Lpad, M = cell_codes_u8.shape
+    npad = ((nlist + chunk - 1) // chunk) * chunk
+    codes_p = jnp.pad(cell_codes_u8, ((0, npad - nlist), (0, 0), (0, 0)))
+    codes_c = codes_p.reshape(npad // chunk, chunk, Lpad, M)
+
+    # exact per-dim bound from the codebook: |x̂_d| <= max_k |C[m, k, d']|
+    D = pq_centroids.shape[0] * pq_centroids.shape[2]
+    bound = jnp.max(jnp.abs(pq_centroids), axis=1).reshape(D)   # (D,)
+    scale = jnp.maximum(bound, 1e-12) / 127.0
+
+    def dec(codes_chunk):  # (chunk, Lpad, M)
+        flat = decode_gather(codes_chunk.reshape(chunk * Lpad, M),
+                             pq_centroids)
+        q = jnp.clip(jnp.round(flat / scale), -127, 127).astype(jnp.int8)
+        return q.reshape(chunk, Lpad, D)
+
+    out = jax.lax.map(dec, codes_c)
+    return out.reshape(npad, Lpad, D)[:nlist], scale
+
+
+def _score_work_tiles_decoded_int8(work_cell, qidx, q8_z, qscale_z,
+                                   cell_vecs_i8):
+    """int8 decoded scorer: MXU s8 x s8 -> s32, rescaled per query row.
+
+    q8_z: (Q+1, D) int8 scale-folded quantized queries (row Q zeros);
+    qscale_z: (Q+1,) f32 per-query scales. Returns (T, QT_G, Lpad) f32."""
+    T = work_cell.shape[0]
+    tc = min(TILE_CHUNK, T)
+    Tpad = ((T + tc - 1) // tc) * tc
+    work_p = jnp.pad(work_cell, (0, Tpad - T))
+    qidx_p = jnp.pad(qidx, ((0, Tpad - T), (0, 0)),
+                     constant_values=q8_z.shape[0] - 1)
+
+    def chunk_fn(args):
+        wc, qi = args
+        q_rows = jnp.take(q8_z, qi.reshape(-1), axis=0)      # (tc*QT_G, D) i8
+        q_rows = q_rows.reshape(tc, QT_G, -1)
+        srows = jnp.take(qscale_z, qi.reshape(-1), axis=0)   # (tc*QT_G,) f32
+        tile_vecs = jnp.take(cell_vecs_i8, wc, axis=0)       # (tc, Lpad, D)
+        acc = jax.lax.dot_general(
+            q_rows, tile_vecs,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)                # (tc, QT_G, Lpad)
+        return acc.astype(jnp.float32) * srows.reshape(tc, QT_G, 1)
+
+    out = jax.lax.map(chunk_fn, (work_p.reshape(-1, tc),
+                                 qidx_p.reshape(-1, tc, QT_G)))
+    return out.reshape(Tpad, QT_G, -1)[:T]
+
+
+def _score_work_tiles_decoded(work_cell, qidx, q_z, cell_vecs):
+    """Decoded-residency scorer: one fat MXU matmul per work tile.
+
+    q_z: (Q+1, D) bf16 (row Q is zeros for empty slots); cell_vecs:
+    (nlist, Lpad, D) bf16 reconstructions. Returns (T, QT_G, Lpad) f32.
+
+    ADC's score sum_m LUT[q, m, code] IS dot(q, reconstruction) — the LUT
+    indirection exists to avoid multiplies on hardware where gather is
+    cheaper than FLOPs. On the MXU that trade inverts: gathering LUT rows
+    costs more DMA than the multiplies it saves, and the per-cell one-hot
+    decode (the measured VPU floor of the ADC kernel, RESULTS.md round 2)
+    disappears entirely when the reconstructions are HBM-resident. Per
+    tile: (QT_G, D) query rows x (Lpad, D)^T cell block — contraction dim
+    D=768 keeps the systolic array fat. Pure XLA (batched dot_general);
+    no Pallas needed, so this path also runs anywhere XLA does.
+
+    The memory trade is explicit: bf16 reconstructions are D*2 bytes/doc
+    (1.6 GB at 1M docs, D=768) vs M bytes/doc for codes (48 MB) — PQ still
+    wins storage; this wins serving speed when HBM has room.
+    """
+    T = work_cell.shape[0]
+    tc = min(TILE_CHUNK, T)
+    Tpad = ((T + tc - 1) // tc) * tc
+    work_p = jnp.pad(work_cell, (0, Tpad - T))
+    qidx_p = jnp.pad(qidx, ((0, Tpad - T), (0, 0)),
+                     constant_values=q_z.shape[0] - 1)
+
+    def chunk_fn(args):
+        wc, qi = args                                    # (tc,), (tc, QT_G)
+        q_rows = jnp.take(q_z, qi.reshape(-1), axis=0)   # (tc*QT_G, D) bf16
+        q_rows = q_rows.reshape(tc, QT_G, -1)
+        tile_vecs = jnp.take(cell_vecs, wc, axis=0)      # (tc, Lpad, D) bf16
+        return jax.lax.dot_general(
+            q_rows, tile_vecs,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (tc, QT_G, Lpad)
+
+    out = jax.lax.map(chunk_fn, (work_p.reshape(-1, tc),
+                                 qidx_p.reshape(-1, tc, QT_G)))
+    return out.reshape(Tpad, QT_G, -1)[:T]
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "topk", "T_max"))
+def _ivf_search_device_decoded(
+    query_embeds,       # (Q, D) f32
+    coarse_centroids,   # (nlist, D) f32
+    cell_vecs,          # (nlist, Lpad, D) bf16 or int8 reconstructions
+    cell_ids,           # (nlist, Lpad) int32 (-1 pad)
+    nprobe: int,
+    topk: int,
+    T_max: int,
+    doc_scale=None,     # (D,) f32 — required with int8 cell_vecs
+):
+    """IVF search over the decoded-residency store. Identical probe, pair
+    grouping, masking, and top-k semantics to _ivf_search_device; only the
+    scoring stage differs (see _score_work_tiles_decoded / _int8)."""
+    Q, D = query_embeds.shape
+    nlist, Lpad, _ = cell_vecs.shape
+
+    cells = probe_cells(query_embeds, coarse_centroids, nprobe)
+    pair_q, row, work_cell, qidx, overflow = _group_pairs(
+        cells, Q, nlist, nprobe, T_max)
+
+    if cell_vecs.dtype == jnp.int8:
+        # fold the per-dim doc scale into the query, quantize per query
+        q_f = query_embeds * doc_scale[None, :]
+        qscale = jnp.maximum(jnp.max(jnp.abs(q_f), axis=1), 1e-12) / 127.0
+        q8 = jnp.clip(jnp.round(q_f / qscale[:, None]),
+                      -127, 127).astype(jnp.int8)
+        q8_z = jnp.concatenate([q8, jnp.zeros((1, D), jnp.int8)], axis=0)
+        qscale_z = jnp.concatenate([qscale, jnp.zeros((1,), jnp.float32)])
+        scores = _score_work_tiles_decoded_int8(work_cell, qidx, q8_z,
+                                                qscale_z, cell_vecs)
+    else:
+        q_z = jnp.concatenate(
+            [query_embeds.astype(jnp.bfloat16),
+             jnp.zeros((1, D), jnp.bfloat16)], axis=0)
+        scores = _score_work_tiles_decoded(work_cell, qidx, q_z, cell_vecs)
+    scores_flat = scores.reshape(T_max * QT_G, Lpad)
+
+    s, ids = _regroup_topk(scores_flat, row, cells, cell_ids, T_max, Q,
+                           nprobe, topk)
     return s, ids, overflow
 
 
@@ -578,15 +774,27 @@ class ShardedPallasIVFIndex:
 
 
 class PallasIVFIndex:
-    """Device-resident IVF-PQ index served by the cell-grouped kernel."""
+    """Device-resident IVF-PQ index served by the cell-grouped kernel.
 
-    def __init__(self, index: IVFIndex):
+    serving="adc" (default) scores tiles with the one-hot-decode ADC
+    kernel from the M-bytes/doc code store. serving="decoded" keeps bf16
+    RECONSTRUCTIONS HBM-resident (D*2 bytes/doc) and scores each tile as
+    one fat MXU matmul — mathematically the same quantity (ADC's LUT sum
+    IS dot(query, reconstruction)), built once from the same codes, and
+    much faster when HBM has room (no one-hot VPU build, no LUT gather).
+    enable_decoded_serving() can also be called lazily; search accepts a
+    per-call serving= override."""
+
+    def __init__(self, index: IVFIndex, serving: str = "adc"):
         self.host = index
         self.K = index.centroids.shape[1]
         self.nlist = index.nlist
         self.cell_codes = jnp.asarray(index.cell_codes)  # uint8, 1 byte/code
         self.cell_ids = jnp.asarray(index.cell_ids)
         self.coarse = jnp.asarray(index.coarse_centroids)
+        self.cell_vecs = None
+        self.doc_scale = None
+        self.serving = serving
         self.set_centroids(index.centroids)
         self.spill = None
         if len(index.spill_ids):
@@ -602,10 +810,40 @@ class PallasIVFIndex:
         self.K = self.centroids.shape[1]
         if getattr(self, "spill", None) is not None:
             self.spill.set_centroids(centroids)
+        # reconstructions bake the codebook: rebuild on centroid swap
+        # (centroid swap after JPQ stage-2 is a supported flow)
+        if self.serving in ("decoded", "decoded_int8"):
+            self.enable_decoded_serving(
+                "int8" if self.serving == "decoded_int8" else "bf16")
+        elif self.cell_vecs is not None:
+            self.enable_decoded_serving(
+                "int8" if self.cell_vecs.dtype == jnp.int8 else "bf16")
+
+    def enable_decoded_serving(self, dtype: str = "bf16"):
+        """Materialize (nlist, Lpad, D) reconstructions on device and make
+        decoded residency the default serving mode. dtype="int8" stores
+        scale-folded int8 (D bytes/doc, MXU s8 path — fits 8.8M docs on one
+        chip where bf16 does not); "bf16" is exact to ADC-LUT precision."""
+        if dtype == "int8":
+            self.cell_vecs, self.doc_scale = decode_cells_int8(
+                self.cell_codes, self.centroids)
+            self.serving = "decoded_int8"
+        else:
+            self.cell_vecs = decode_cells(self.cell_codes, self.centroids)
+            self.doc_scale = None
+            self.serving = "decoded"
+        return self
+
+    def decoded_bytes(self, dtype: str = "bf16") -> int:
+        """HBM cost of decoded residency (planning helper for callers
+        choosing a serving mode against a memory budget)."""
+        nlist, Lpad, _ = self.cell_codes.shape
+        D = self.centroids.shape[0] * self.centroids.shape[2]
+        return nlist * Lpad * D * (1 if dtype == "int8" else 2)
 
     def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64,
                       capacity_factor: float | None = 1.35,
-                      lut_dtype: str = "bf16"):
+                      lut_dtype: str = "bf16", serving: str | None = None):
         """Returns (scores, ids, overflow). With the default capacity_factor
         the work-tile grid is sized to the EXPECTED occupancy (+35%) instead
         of the ~55%-loose adversarial worst case — both the LUT-row gather
@@ -618,26 +856,40 @@ class PallasIVFIndex:
 
         lut_dtype="int8" serves with per-(query, group) quantized LUTs —
         halves the dominant LUT gather/DMA traffic for ~1% top-100 churn
-        (the TPU analog of faiss's fp16-LUT mode, one step further)."""
+        (the TPU analog of faiss's fp16-LUT mode, one step further; ADC
+        serving only).
+
+        serving overrides the index default per call ("adc" / "decoded")."""
         q = jnp.asarray(query_embeds, dtype=jnp.float32)
         Q = q.shape[0]
         nprobe = min(nprobe, self.nlist)
         T_worst = (Q * nprobe) // QT_G + self.nlist + 1
         T_max = (_tile_budget(Q, nprobe, self.nlist, capacity_factor)
                  if capacity_factor is not None else T_worst)
+        mode = serving or self.serving
+        if mode in ("decoded", "decoded_int8"):
+            want = jnp.int8 if mode == "decoded_int8" else jnp.bfloat16
+            if self.cell_vecs is None or self.cell_vecs.dtype != want:
+                self.enable_decoded_serving(
+                    "int8" if mode == "decoded_int8" else "bf16")
+            return _ivf_search_device_decoded(
+                q, self.coarse, self.cell_vecs, self.cell_ids,
+                nprobe, topk, T_max, doc_scale=self.doc_scale)
         s, i, overflow = _ivf_search_device(
             q, self.centroids, self.coarse, self.cell_codes, self.cell_ids,
             nprobe, topk, self.K, T_max, lut_dtype)
         return s, i, overflow
 
     def search(self, query_embeds, topk: int = 1000, nprobe: int = 64,
-               lut_dtype: str = "bf16"):
+               lut_dtype: str = "bf16", serving: str | None = None):
         s, i, overflow = self.search_device(query_embeds, topk, nprobe,
-                                            lut_dtype=lut_dtype)
+                                            lut_dtype=lut_dtype,
+                                            serving=serving)
         if int(overflow) > 0:
             s, i, _ = self.search_device(query_embeds, topk, nprobe,
                                          capacity_factor=None,
-                                         lut_dtype=lut_dtype)
+                                         lut_dtype=lut_dtype,
+                                         serving=serving)
         return _merge_spill(np.asarray(s), np.asarray(i), self.spill,
                             getattr(self, "spill_ids", None), query_embeds,
                             topk)

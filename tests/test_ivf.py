@@ -253,3 +253,98 @@ def test_serve_search_int8_lut():
     s_x2, i_x2 = serve_search(index, queries, topk=10, nprobe=8, mode="xla")
     np.testing.assert_array_equal(i_x, i_x2)
     np.testing.assert_allclose(s_x, s_x2)
+
+
+def test_serve_search_decoded_matches_xla():
+    """serving="decoded" (decoded-residency: bf16 reconstructions scored as
+    fat matmuls, no one-hot/LUT) must reproduce the exact XLA ADC scan to
+    bf16 precision — ADC's LUT sum IS dot(query, reconstruction)."""
+    from repconc_tpu.index.ivf import serve_search
+
+    rng = np.random.default_rng(21)
+    N, D, M, K = 3000, 32, 4, 32
+    centers = rng.normal(size=(24, D)).astype(np.float32) * 2
+    embeds = (centers[rng.integers(0, 24, N)] +
+              rng.normal(size=(N, D)).astype(np.float32) * 0.3)
+    cent, _ = pq_fit(jnp.asarray(embeds[:1500]), M=M, K=K, iters=10)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
+    index = build_ivf(embeds, codes, cent, nlist=32, kmeans_iters=8)
+    queries = (embeds[rng.integers(0, N, 32)] +
+               rng.normal(size=(32, D)).astype(np.float32) * 0.1)
+
+    s_x, i_x = serve_search(index, queries, topk=10, nprobe=32, mode="xla")
+    s_d, i_d = serve_search(index, queries, topk=10, nprobe=32,
+                            mode="pallas", serving="decoded",
+                            search_batch=20)
+    np.testing.assert_allclose(s_d, s_x, rtol=5e-3, atol=5e-3)
+    # ids may permute within bf16-indistinguishable tie groups: every
+    # decoded hit's TRUE fp32 ADC score must clear the XLA 10th-best
+    from repconc_tpu.quant.codebook import decode_gather
+
+    rec = np.asarray(decode_gather(jnp.asarray(codes.astype(np.int32)),
+                                   jnp.asarray(cent)))
+    for q in range(queries.shape[0]):
+        true_s = rec[i_d[q]] @ queries[q]
+        assert (true_s >= s_x[q, -1] - 5e-3 * abs(s_x[q, -1])).all(), q
+
+
+def test_decoded_index_modes(built):
+    """PallasIVFIndex decoded mode: lazy enable, per-call override, and
+    codebook swap rebuilding the reconstructions."""
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex
+
+    index, _, _, cent, queries = built
+    pidx = PallasIVFIndex(index)            # default: adc
+    assert pidx.cell_vecs is None
+    # per-call override enables lazily
+    s1, i1, ov1 = pidx.search_device(queries[:8], topk=5, nprobe=index.nlist,
+                                     serving="decoded")
+    assert pidx.cell_vecs is not None
+    assert pidx.decoded_bytes() == np.prod(pidx.cell_vecs.shape) * 2
+    assert int(ov1) == 0
+    # same search through the constructor default
+    pidx2 = PallasIVFIndex(index, serving="decoded")
+    s2, i2, _ = pidx2.search_device(queries[:8], topk=5, nprobe=index.nlist)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+    # codebook swap must rebuild reconstructions (ranking changes)
+    rng = np.random.default_rng(5)
+    pidx2.set_centroids(cent + rng.normal(size=cent.shape).astype(np.float32))
+    s3, _, _ = pidx2.search_device(queries[:8], topk=5, nprobe=index.nlist)
+    assert not np.allclose(np.asarray(s2), np.asarray(s3))
+
+
+def test_serve_search_decoded_int8():
+    """decoded_int8 (scale-folded int8 residency, MXU s8 path): close to the
+    bf16 decoded scores, high top-k agreement, per-dim scale folding exact."""
+    from repconc_tpu.index.ivf import serve_search
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex
+
+    rng = np.random.default_rng(29)
+    N, D, M, K = 2000, 32, 4, 32
+    centers = rng.normal(size=(16, D)).astype(np.float32) * 2
+    embeds = (centers[rng.integers(0, 16, N)] +
+              rng.normal(size=(N, D)).astype(np.float32) * 0.3)
+    cent, _ = pq_fit(jnp.asarray(embeds[:800]), M=M, K=K, iters=8)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
+    index = build_ivf(embeds, codes, cent, nlist=16, kmeans_iters=6)
+    queries = (embeds[rng.integers(0, N, 8)] +
+               rng.normal(size=(8, D)).astype(np.float32) * 0.1)
+
+    s_bf, i_bf = serve_search(index, queries, topk=10, nprobe=16,
+                              mode="pallas", serving="decoded")
+    s_i8, i_i8 = serve_search(index, queries, topk=10, nprobe=16,
+                              mode="pallas", serving="decoded_int8")
+    assert not np.array_equal(s_bf, s_i8)   # quantization engaged
+    np.testing.assert_allclose(s_i8, s_bf, rtol=0.05, atol=0.05)
+    overlap = np.mean([len(set(i_bf[r]) & set(i_i8[r])) / 10
+                       for r in range(8)])
+    assert overlap > 0.8, overlap
+
+    # residency accounting: int8 store is half the bf16 store
+    pidx = PallasIVFIndex(index, serving="decoded_int8")
+    assert pidx.cell_vecs.dtype == jnp.int8
+    assert pidx.doc_scale.shape == (D,)
+    assert pidx.decoded_bytes("int8") * 2 == pidx.decoded_bytes("bf16")
