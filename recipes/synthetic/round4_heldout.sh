@@ -1,0 +1,117 @@
+#!/bin/bash
+# Round-4 held-out-encoder matrix (VERDICT round-3 ask #2): give stage-1
+# doc-side training real headroom so the reference's headline ordering —
+# RepCONC > JPQ-only > OPQ on MRR@10 (examples/sentence-bert/README.md:
+# 11-17) — can actually appear.
+#
+# Construction: stage 0 converges on queries from HALF the subtopics
+# (data_stage0); the whole quantized pipeline trains AND evaluates on the
+# other half (data_task). The doc encoder is then non-optimal for the task
+# (the MS MARCO situation) and only variants that train the DOC side
+# (RepCONC stages 7-10) can close that gap — JPQ-only trains the query
+# encoder against frozen warmup codes.
+#
+# Legs at M=12 (the 256x point where round 3 showed compression binds):
+#   opq      — OPQ warmup only (anchor)
+#   jpq_only — stage-2 JPQ on warmup codes (query-side only)
+#   conc     — RepCONC stage-1 (+ eval), then stage-2 on its codes
+#
+# Restartable: .done markers per step; pipeline stages skip-if-exists.
+# Usage: bash recipes/synthetic/round4_heldout.sh <src_ws=/root/ws3> <ws=/root/ws4>
+set -u
+SRC=${1:-/root/ws3}
+WS=${2:-/root/ws4}
+HERE=$(cd "$(dirname "$0")" && pwd)
+PIPE="${HERE}/../run_pipeline.sh"
+REPO=$(cd "${HERE}/../.." && pwd)
+mkdir -p "${WS}"
+QLOG="${WS}/queue_log.txt"
+note() { echo "[$(date '+%m-%d %H:%M:%S')] $*" | tee -a "${QLOG}"; }
+step() {
+  local NAME=$1; shift
+  if [ -f "${WS}/.done_${NAME}" ]; then note "skip ${NAME}"; return 0; fi
+  note "start ${NAME}"
+  local T0=$(date +%s)
+  if "$@" >> "${WS}/log_${NAME}.txt" 2>&1; then
+    touch "${WS}/.done_${NAME}"
+    note "done ${NAME} ($(( $(date +%s) - T0 ))s)"
+  else
+    note "FAIL ${NAME} ($(( $(date +%s) - T0 ))s) — see log_${NAME}.txt"
+    return 1
+  fi
+}
+
+cd "${REPO}"
+
+step split python "${HERE}/split_queries_heldout.py" "${SRC}/data" "${WS}" \
+  || exit 1
+
+HF_DIR="${WS}/experiments/synth/dense_pretrain/export_hf"
+cat > "${WS}/stage0.env" <<EOF
+FAMILY=synth-heldout
+HF_MODEL_DIR=${SRC}/models/synth-bert-base
+POOLING=mean
+METRIC_DENSE=METRIC_IP
+DATA_DIR=${WS}/data_stage0
+OUT_ROOT=${WS}/experiments/synth
+DENSE_STEPS=2000
+DENSE_BATCH=256
+DENSE_LR=1e-4
+DENSE_EVAL_STEPS=200
+CACHE_CHUNK=128
+EOF
+step stage0 bash "${PIPE}" "${WS}/stage0.env" 0 || exit 1
+
+make_env() {  # make_env <out.env> [extra lines...]
+  local OUT=$1; shift
+  cat > "${OUT}" <<EOF
+FAMILY=synth-heldout
+HF_MODEL_DIR=${HF_DIR}
+POOLING=mean
+METRIC_DENSE=METRIC_IP
+M=12
+DATA_DIR=${WS}/data_task
+OUT_ROOT=${WS}/experiments/synth
+GLOBAL_BATCH=256
+CACHE_CHUNK=128
+CONC_STEPS=800
+JPQ_STEPS=800
+JPQ_BATCH=128
+EVAL_STEPS=100
+MAX_DOC_LEN_EVAL=128
+NLIST=1024
+NPROBE=32
+MAX_POSITIVES=160
+CONC_LR=2e-6
+CONC_CENTROID_LR=1e-3
+MSE_WEIGHT=0.01
+EOF
+  printf '%s\n' "$@" >> "${OUT}"
+}
+make_env "${WS}/m12.env"
+
+# task-side dense baseline + shared artifacts (the dense eval now measures
+# the held-out gap itself: expect well below the ws3 0.967 MRR@10)
+step shared bash "${PIPE}" "${WS}/m12.env" 2 3 4 5 6 || exit 1
+step opq_eval bash "${PIPE}" "${WS}/m12.env" opq-eval
+step jpq_only bash "${PIPE}" "${WS}/m12.env" jpq-train jpq-eval
+step conc bash "${PIPE}" "${WS}/m12.env" 7 8 9 10
+
+note "heldout matrix complete"
+python - <<EOF
+import json, os
+root = "${WS}/experiments/synth/m12"
+print("leg                MRR@10  NDCG@10  R@100")
+for name, p in (("dense (task)", "${WS}/experiments/synth/dense/dev"),
+                ("opq", f"{root}/opq_index/dev"),
+                ("jpq_only", f"{root}/jpq_only_index/dev"),
+                ("repconc", f"{root}/conc_index/dev"),
+                ("repconc+jpq", f"{root}/jpq_index/dev")):
+    mp = os.path.join(p, "metric.json")
+    if os.path.exists(mp):
+        m = json.load(open(mp))
+        print(f"{name:18s} {m['mrr']['MRR@10']:.4f}  "
+              f"{m['ndcg']['NDCG@10']:.4f}  {m['recall']['Recall@100']:.4f}")
+    else:
+        print(f"{name:18s} (missing: {mp})")
+EOF
