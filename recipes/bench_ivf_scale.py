@@ -43,9 +43,18 @@ def main():
     ap.add_argument("--topk", type=int, default=1000)
     ap.add_argument("--lut_dtype", default="bf16",
                     choices=("bf16", "int8", "both"))
+    ap.add_argument("--serving", default="adc",
+                    choices=("adc", "decoded", "decoded_int8", "all"),
+                    help="adc = one-hot kernel over the code store; "
+                         "decoded/decoded_int8 = HBM-resident "
+                         "reconstructions scored as fat MXU matmuls "
+                         "(int8 residency = 7.9 GB at 8.8M docs: the mode "
+                         "that fits MS MARCO scale on one chip)")
     args = ap.parse_args()
     lut_dtypes = (["bf16", "int8"] if args.lut_dtype == "both"
                   else [args.lut_dtype])
+    servings = (["adc", "decoded_int8"] if args.serving == "all"
+                else [args.serving])
 
     import functools
 
@@ -53,7 +62,9 @@ def main():
     import jax.numpy as jnp
 
     from repconc_tpu.index.pallas_ivf import (QT_G, _ivf_search_device,
-                                              _tile_budget)
+                                              _ivf_search_device_decoded,
+                                              _tile_budget, decode_cells,
+                                              decode_cells_int8)
 
     D, M, K = 768, 48, 256
     nlist, lpad = args.nlist, args.lpad
@@ -77,6 +88,23 @@ def main():
           f"{n_docs*M/2**30:.2f} GiB uint8 codes; "
           f"pipeline_depth={args.pipeline_depth}")
 
+    # decoded residency is built ONCE (it is load-time work in serving)
+    cell_vecs, doc_scale = None, None
+    if "decoded" in servings:
+        cell_vecs = decode_cells(cell_codes, centroids)
+        print(f"decoded store: {n_docs*D*2/2**30:.2f} GiB bf16")
+    elif "decoded_int8" in servings:
+        cell_vecs, doc_scale = decode_cells_int8(cell_codes, centroids)
+        print(f"decoded store: {n_docs*D/2**30:.2f} GiB int8")
+
+    @functools.partial(jax.jit, static_argnames=("nprobe", "T_max"))
+    def fused_decoded(q, coarse, vecs, cell_ids, scale, nprobe, T_max):
+        s, i, ov = _ivf_search_device_decoded(
+            q, coarse, vecs, cell_ids, nprobe, args.topk, T_max,
+            doc_scale=scale)
+        return (jnp.sum(s) + i[0, 0].astype(jnp.float32)
+                + ov.astype(jnp.float32) * 1e30)
+
     for n_queries, nprobe in ((b, p) for b in batches
                               for p in [int(x)
                                         for x in args.nprobes.split(",")]):
@@ -94,13 +122,21 @@ def main():
             return (jnp.sum(s) + i[0, 0].astype(jnp.float32)
                     + ov.astype(jnp.float32) * 1e30)
 
-        for lut_dtype in lut_dtypes:
-            def run():
-                return float(fused(queries, centroids, coarse, cell_codes,
-                                   cell_ids, nprobe=nprobe, T_max=T_max,
-                                   lut_dtype=lut_dtype))
+        configs = []
+        for serving in servings:
+            if serving == "adc":
+                for lut_dtype in lut_dtypes:
+                    configs.append((f"adc/lut={lut_dtype}", functools.partial(
+                        fused, queries, centroids, coarse, cell_codes,
+                        cell_ids, nprobe=nprobe, T_max=T_max,
+                        lut_dtype=lut_dtype)))
+            else:
+                configs.append((serving, functools.partial(
+                    fused_decoded, queries, coarse, cell_vecs, cell_ids,
+                    doc_scale, nprobe=nprobe, T_max=T_max)))
 
-            v = run()  # compile
+        for label, call in configs:
+            v = float(call())  # compile
             assert abs(v) < 1e29, "tile-capacity overflow"
             depth = args.pipeline_depth
             ts = []
@@ -109,16 +145,14 @@ def main():
                 # (single-core TPU executes in dispatch order; bench.py's
                 # methodology, so rows compare 1:1 with the headline)
                 t0 = time.perf_counter()
-                outs = [fused(queries, centroids, coarse, cell_codes,
-                              cell_ids, nprobe=nprobe, T_max=T_max,
-                              lut_dtype=lut_dtype) for _ in range(depth)]
+                outs = [call() for _ in range(depth)]
                 barrier = float(outs[-1])
                 ts.append(time.perf_counter() - t0)
                 assert all(abs(float(o)) < 1e29 for o in outs[:-1]) and \
                     abs(barrier) < 1e29, "tile-capacity overflow"
             qps = depth * n_queries / min(ts)
             print(f"batch={n_queries:5d} nprobe={nprobe:4d} "
-                  f"lut={lut_dtype}: {qps:8.0f} QPS/chip "
+                  f"{label}: {qps:8.0f} QPS/chip "
                   f"({min(ts)/depth*1e3:.1f} ms/batch steady-state)")
 
 
