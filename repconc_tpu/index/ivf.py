@@ -402,8 +402,9 @@ def serve_search(
     HBM-resident (D*2 bytes/doc vs M bytes/doc) and scores tiles as fat
     MXU matmuls — same scores to bf16 precision, no one-hot decode or LUT
     gather; "decoded_int8" stores scale-folded int8 reconstructions
-    (D bytes/doc, MXU s8 path) — fits MS MARCO scale on one chip
-    (PallasIVFIndex docstring); single-chip Pallas paths only.
+    (D bytes/doc, MXU s8 path) — fits MS MARCO scale on one chip.
+    Both work single-chip and mesh-sharded (each device decodes and holds
+    only its own cells' reconstructions).
 
     Queries are served in fixed `search_batch` chunks, final short chunk
     padded, so every batch hits one jit cache entry (static shapes).
@@ -429,9 +430,6 @@ def serve_search(
         from repconc_tpu.index.pallas_ivf import ShardedPallasIVFIndex
 
         searcher = ShardedPallasIVFIndex(mesh, index)
-        if serving != "adc":
-            logger.warning("serve_search: serving='decoded' has no "
-                           "mesh-sharded variant yet; serving ADC")
     else:
         from repconc_tpu.index.pallas_ivf import PallasIVFIndex
 
@@ -448,7 +446,7 @@ def serve_search(
         if real < search_batch:
             qc = np.pad(qc, ((0, search_batch - real), (0, 0)))
         s, i = searcher.search(qc, topk=topk, nprobe=nprobe,
-                               lut_dtype=lut_dtype)
+                               lut_dtype=lut_dtype, serving=serving)
         all_s.append(s[:real])
         all_i.append(i[:real])
     return np.concatenate(all_s, axis=0), np.concatenate(all_i, axis=0)

@@ -608,7 +608,11 @@ class ShardedPallasIVFIndex:
         self.coarse = jax.device_put(
             jnp.asarray(index.coarse_centroids), repl)
         self._repl = repl
-        self._fn_cache = {}  # (Q, topk, nprobe, T_cap) -> jitted shard_map
+        self._shard = shard
+        self._fn_cache = {}  # (Q, topk, nprobe, T_cap, ...) -> jitted fn
+        self.cell_vecs = None
+        self.doc_scale = None
+        self.serving = "adc"
         self.set_centroids(index.centroids)
         self.spill = None
         if len(index.spill_ids):
@@ -616,6 +620,35 @@ class ShardedPallasIVFIndex:
 
             self.spill = PallasADCIndex(index.spill_codes, index.centroids)
             self.spill_ids = index.spill_ids
+
+    def enable_decoded_serving(self, dtype: str = "bf16"):
+        """Decoded residency, cell-sharded: each device decodes and holds
+        only ITS cells' reconstructions (D*{1,2}/W bytes/doc per device —
+        2 GB/device for 8.8M docs bf16 on 8 devices). Decode runs under
+        shard_map so no reconstruction ever crosses the mesh."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if dtype == "int8":
+            dec = jax.jit(shard_map(
+                lambda c, pq: decode_cells_int8(c, pq)[0], mesh=self.mesh,
+                in_specs=(P(self.axis), P()), out_specs=P(self.axis)))
+            self.cell_vecs = dec(self.cell_codes, self.centroids)
+            # per-dim scale comes from the replicated codebook: identical
+            # on every device, so compute it once outside the mesh
+            D = self.centroids.shape[0] * self.centroids.shape[2]
+            bound = jnp.max(jnp.abs(self.centroids), axis=1).reshape(D)
+            self.doc_scale = jax.device_put(
+                jnp.maximum(bound, 1e-12) / 127.0, self._repl)
+            self.serving = "decoded_int8"
+        else:
+            dec = jax.jit(shard_map(
+                decode_cells, mesh=self.mesh,
+                in_specs=(P(self.axis), P()), out_specs=P(self.axis)))
+            self.cell_vecs = dec(self.cell_codes, self.centroids)
+            self.doc_scale = None
+            self.serving = "decoded"
+        return self
 
     def set_centroids(self, centroids):
         centroids = jnp.asarray(centroids, dtype=jnp.float32)
@@ -629,10 +662,14 @@ class ShardedPallasIVFIndex:
         self.centroids = jax.device_put(centroids, self._repl)
         if getattr(self, "spill", None) is not None:
             self.spill.set_centroids(centroids)
+        if getattr(self, "cell_vecs", None) is not None:
+            # decoded residency bakes the codebook: rebuild on swap
+            self.enable_decoded_serving(
+                "int8" if self.cell_vecs.dtype == jnp.int8 else "bf16")
 
     def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64,
                       capacity_factor: float | None = -1.0,
-                      lut_dtype: str = "bf16"):
+                      lut_dtype: str = "bf16", serving: str | None = None):
         """capacity_factor: -1.0 (default) uses the constructor's factor;
         None sizes the per-device tile grid for the ADVERSARIAL worst case
         (every pair owned by one device) — no overflow possible. Returned
@@ -641,7 +678,11 @@ class ShardedPallasIVFIndex:
         is positive. lut_dtype="int8" serves with per-(query, group)
         quantized LUTs exactly like the single-chip path (quantization is
         deterministic per query, so every device scores with identical
-        tables and the merge semantics are unchanged)."""
+        tables and the merge semantics are unchanged).
+
+        serving "decoded"/"decoded_int8" scores each device's tiles from
+        its shard of the decoded-residency store (enable_decoded_serving);
+        merge semantics are identical."""
         q = jnp.asarray(query_embeds, dtype=jnp.float32)
         Q = q.shape[0]
         nprobe = min(nprobe, self.nlist)
@@ -654,18 +695,31 @@ class ShardedPallasIVFIndex:
         else:
             T_cap = (int(P_pairs * capacity_factor) // (W * QT_G)
                      + self.nlist_local + 1)
-        key = (Q, topk, nprobe, T_cap, lut_dtype)
+        mode = serving or self.serving
+        if mode in ("decoded", "decoded_int8"):
+            want = jnp.int8 if mode == "decoded_int8" else jnp.bfloat16
+            if self.cell_vecs is None or self.cell_vecs.dtype != want:
+                self.enable_decoded_serving(
+                    "int8" if mode == "decoded_int8" else "bf16")
+        key = (Q, topk, nprobe, T_cap, lut_dtype, mode)
         fn = self._fn_cache.get(key)
         if fn is None:  # one jit wrapper per config: a fresh wrapper per
             #             call would recompile every serving batch
-            fn = self._build_search_fn(Q, topk, nprobe, T_cap, lut_dtype)
+            fn = self._build_search_fn(Q, topk, nprobe, T_cap, lut_dtype,
+                                       mode)
             self._fn_cache[key] = fn
-        s, ids, overflow = fn(q, self.coarse, self.centroids,
-                              self.cell_codes, self.cell_ids)
+        if mode in ("decoded", "decoded_int8"):
+            args = ((q, self.coarse, self.cell_vecs, self.cell_ids,
+                     self.doc_scale) if mode == "decoded_int8" else
+                    (q, self.coarse, self.cell_vecs, self.cell_ids))
+            s, ids, overflow = fn(*args)
+        else:
+            s, ids, overflow = fn(q, self.coarse, self.centroids,
+                                  self.cell_codes, self.cell_ids)
         return s, ids, overflow
 
     def _build_search_fn(self, Q: int, topk: int, nprobe: int, T_cap: int,
-                         lut_dtype: str = "bf16"):
+                         lut_dtype: str = "bf16", serving: str = "adc"):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -673,20 +727,21 @@ class ShardedPallasIVFIndex:
         axis, nlist_local, K = self.axis, self.nlist_local, self.K
         gm = _group_size(self.cell_codes.shape[2], K)
 
-        def local_fn(q, coarse, pq_cent, cell_codes_l, cell_ids_l):
+        def group_local(q, coarse):
+            """Per-device tile construction over OWNED pairs.
+
+            Sort-free grouping by local cell (see _ivf_search_device):
+            cells within a query are distinct, so a pair's stable rank in
+            its cell is the count of earlier queries probing it —
+            incidence cumsum, not an argsort. Non-owned pairs contribute 0
+            (masked .add) and are dropped."""
             d = jax.lax.axis_index(axis)
-            Lpad = cell_codes_l.shape[1]
             cells = probe_cells(q, coarse, nprobe)          # GLOBAL cell ids
             pair_cell = cells.reshape(-1)
             pair_q = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), nprobe)
             owned = (pair_cell % W) == d
             lc = jnp.where(owned, pair_cell // W, 0)        # local cell id
 
-            # sort-free grouping of OWNED pairs by local cell (see
-            # _ivf_search_device): cells within a query are distinct, so a
-            # pair's stable rank in its cell is the count of earlier
-            # queries probing it — incidence cumsum, not an argsort.
-            # Non-owned pairs contribute 0 (masked .add) and are dropped.
             inc = jnp.zeros((Q, nlist_local), jnp.int32).at[
                 pair_q, lc].add(owned.astype(jnp.int32))
             counts = jnp.sum(inc, axis=0)                   # (nlist_local,)
@@ -704,27 +759,15 @@ class ShardedPallasIVFIndex:
             wid = jnp.where(valid, work_id, T_cap)
             row = wid * QT_G + slot
             work_cell = jnp.zeros((T_cap,), jnp.int32).at[wid].set(lc)
-            lut = permute_lut(build_lut(q, pq_cent), gm)
-            MK = lut.shape[1]
-            if lut_dtype == "int8":
-                lut_i8, scales = quantize_lut_int8(lut, gm, K)
-                lut_z = jnp.concatenate(
-                    [lut_i8, jnp.zeros((1, MK), jnp.int8)], 0)
-                scales_z = jnp.concatenate(
-                    [scales, jnp.zeros((1, scales.shape[1]), jnp.float32)], 0)
-            else:
-                lut_z = jnp.concatenate(
-                    [lut.astype(jnp.bfloat16),
-                     jnp.zeros((1, MK), jnp.bfloat16)], 0)
-                scales_z = None
             qidx = jnp.full((T_cap * QT_G,), Q, jnp.int32).at[row].set(
                 jnp.where(valid, pair_q, Q))
-            qidx = qidx.reshape(T_cap, QT_G)
+            return (work_cell, qidx.reshape(T_cap, QT_G), row, lc, valid,
+                    overflow)
 
-            scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_l, K,
-                                       scales_z=scales_z)
-            scores_flat = scores.reshape(T_cap * QT_G, Lpad)
-
+        def merge_local(scores_flat, row, lc, valid, cell_ids_l, Lpad):
+            """Local candidate regroup + local top-k + all_gather merge —
+            every pair is scored by exactly one device, so the merge is
+            exact."""
             # row/lc/valid were computed in q-major pair order — reshape
             rows_pq = row.reshape(Q, nprobe)
             cells_pq = lc.reshape(Q, nprobe)
@@ -752,22 +795,87 @@ class ShardedPallasIVFIndex:
             k_g = min(topk, all_s.shape[1])
             s, pos = jax.lax.approx_max_k(all_s, k_g, recall_target=1.0)
             ids = jnp.take_along_axis(all_i, pos.astype(jnp.int32), axis=1)
+            return s, ids
+
+        def local_fn(q, coarse, pq_cent, cell_codes_l, cell_ids_l):
+            Lpad = cell_codes_l.shape[1]
+            work_cell, qidx, row, lc, valid, overflow = group_local(q, coarse)
+            lut = permute_lut(build_lut(q, pq_cent), gm)
+            MK = lut.shape[1]
+            if lut_dtype == "int8":
+                lut_i8, scales = quantize_lut_int8(lut, gm, K)
+                lut_z = jnp.concatenate(
+                    [lut_i8, jnp.zeros((1, MK), jnp.int8)], 0)
+                scales_z = jnp.concatenate(
+                    [scales, jnp.zeros((1, scales.shape[1]), jnp.float32)], 0)
+            else:
+                lut_z = jnp.concatenate(
+                    [lut.astype(jnp.bfloat16),
+                     jnp.zeros((1, MK), jnp.bfloat16)], 0)
+                scales_z = None
+
+            scores = _score_work_tiles(work_cell, qidx, lut_z, cell_codes_l, K,
+                                       scales_z=scales_z)
+            scores_flat = scores.reshape(T_cap * QT_G, Lpad)
+            s, ids = merge_local(scores_flat, row, lc, valid, cell_ids_l, Lpad)
             return s, ids, overflow
 
+        def local_fn_decoded(q, coarse, cell_vecs_l, cell_ids_l):
+            Lpad = cell_vecs_l.shape[1]
+            D = q.shape[1]
+            work_cell, qidx, row, lc, valid, overflow = group_local(q, coarse)
+            q_z = jnp.concatenate(
+                [q.astype(jnp.bfloat16), jnp.zeros((1, D), jnp.bfloat16)], 0)
+            scores = _score_work_tiles_decoded(work_cell, qidx, q_z,
+                                               cell_vecs_l)
+            scores_flat = scores.reshape(T_cap * QT_G, Lpad)
+            s, ids = merge_local(scores_flat, row, lc, valid, cell_ids_l, Lpad)
+            return s, ids, overflow
+
+        def local_fn_decoded_i8(q, coarse, cell_vecs_l, cell_ids_l, scale):
+            Lpad = cell_vecs_l.shape[1]
+            D = q.shape[1]
+            work_cell, qidx, row, lc, valid, overflow = group_local(q, coarse)
+            # scale folding is deterministic per query: every device scores
+            # with identical quantized queries, merge semantics unchanged
+            q_f = q * scale[None, :]
+            qscale = jnp.maximum(jnp.max(jnp.abs(q_f), axis=1), 1e-12) / 127.0
+            q8 = jnp.clip(jnp.round(q_f / qscale[:, None]),
+                          -127, 127).astype(jnp.int8)
+            q8_z = jnp.concatenate([q8, jnp.zeros((1, D), jnp.int8)], 0)
+            qscale_z = jnp.concatenate([qscale, jnp.zeros((1,), jnp.float32)])
+            scores = _score_work_tiles_decoded_int8(work_cell, qidx, q8_z,
+                                                    qscale_z, cell_vecs_l)
+            scores_flat = scores.reshape(T_cap * QT_G, Lpad)
+            s, ids = merge_local(scores_flat, row, lc, valid, cell_ids_l, Lpad)
+            return s, ids, overflow
+
+        if serving == "decoded":
+            return jax.jit(shard_map(
+                local_fn_decoded, mesh=self.mesh,
+                in_specs=(P(), P(), P(axis), P(axis)),
+                out_specs=(P(), P(), P()), check_vma=False))
+        if serving == "decoded_int8":
+            return jax.jit(shard_map(
+                local_fn_decoded_i8, mesh=self.mesh,
+                in_specs=(P(), P(), P(axis), P(axis), P()),
+                out_specs=(P(), P(), P()), check_vma=False))
         return jax.jit(shard_map(local_fn, mesh=self.mesh,
                                  in_specs=(P(), P(), P(), P(axis), P(axis)),
                                  out_specs=(P(), P(), P()), check_vma=False))
 
     def search(self, query_embeds, topk: int = 1000, nprobe: int = 64,
-               lut_dtype: str = "bf16"):
+               lut_dtype: str = "bf16", serving: str | None = None):
         s, i, overflow = self.search_device(query_embeds, topk, nprobe,
-                                            lut_dtype=lut_dtype)
+                                            lut_dtype=lut_dtype,
+                                            serving=serving)
         if int(overflow) > 0:
             # self-heal exactly like the single-chip path: rerun once at the
             # worst-case tile shape, where overflow is impossible
             s, i, _ = self.search_device(query_embeds, topk, nprobe,
                                          capacity_factor=None,
-                                         lut_dtype=lut_dtype)
+                                         lut_dtype=lut_dtype,
+                                         serving=serving)
         return _merge_spill(np.asarray(s), np.asarray(i), self.spill,
                             getattr(self, "spill_ids", None), query_embeds,
                             topk)

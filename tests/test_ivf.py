@@ -348,3 +348,32 @@ def test_serve_search_decoded_int8():
     assert pidx.cell_vecs.dtype == jnp.int8
     assert pidx.doc_scale.shape == (D,)
     assert pidx.decoded_bytes("int8") * 2 == pidx.decoded_bytes("bf16")
+
+
+def test_serve_search_sharded_decoded_matches_single():
+    """Mesh-sharded decoded residency (each device decodes only ITS cells)
+    must match single-device decoded serving on the 8-device mesh, for both
+    bf16 and the scale-folded int8 store."""
+    from repconc_tpu.core.mesh import create_mesh
+    from repconc_tpu.index.ivf import serve_search
+
+    rng = np.random.default_rng(17)
+    N, D, M, K = 1500, 32, 4, 32
+    centers = rng.normal(size=(16, D)).astype(np.float32) * 2
+    embeds = (centers[rng.integers(0, 16, N)] +
+              rng.normal(size=(N, D)).astype(np.float32) * 0.3)
+    cent, _ = pq_fit(jnp.asarray(embeds[:800]), M=M, K=K, iters=8)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
+    index = build_ivf(embeds, codes, cent, nlist=16, kmeans_iters=6)
+    queries = embeds[:16]
+
+    mesh = create_mesh()
+    for serving, tol in (("decoded", 5e-3), ("decoded_int8", 5e-2)):
+        s1, i1 = serve_search(index, queries, topk=10, nprobe=16,
+                              mode="pallas", serving=serving)
+        s2, i2 = serve_search(index, queries, topk=10, nprobe=16, mesh=mesh,
+                              mode="pallas", serving=serving)
+        np.testing.assert_allclose(s2, s1, rtol=tol, atol=tol)
+        for q in range(len(queries)):
+            assert set(i2[q].tolist()) == set(i1[q].tolist()), (serving, q)
