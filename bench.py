@@ -32,7 +32,12 @@ import os
 D, M, K = 768, 48, 256
 NLIST, LPAD = 4096, 256          # ~1.05M docs
 N_QUERIES, TOPK, NPROBE = 1200, 1000, 64
-PIPELINE_DEPTH = 4               # batches in flight per timed measurement
+# batches in flight per timed measurement; REPCONC_BENCH_DEPTH=1 reproduces
+# the round-1/2 per-batch-barrier methodology exactly
+PIPELINE_DEPTH = int(os.environ.get("REPCONC_BENCH_DEPTH", "4"))
+# REPCONC_BENCH_SERVING=adc skips the decoded-residency arm (kernel-geometry
+# sweeps tune the ADC kernel only; decoded ignores QT_G/R_TILES)
+SERVING = os.environ.get("REPCONC_BENCH_SERVING", "both")
 BASELINE_QPS = 1500.0
 
 if os.environ.get("REPCONC_BENCH_SMOKE") == "1":
@@ -138,6 +143,18 @@ def main():
     # work tile is ONE fat MXU matmul — no one-hot VPU build, no LUT
     # gather. The serving-mode choice is a documented memory/speed trade
     # (PallasIVFIndex docstring); both modes are reported below.
+    if SERVING == "adc":
+        print(json.dumps({
+            "metric": (f"ivfpq{M}_nlist{NLIST}_nprobe{NPROBE}_qps_1M_top{TOPK}"
+                       if os.environ.get("REPCONC_BENCH_SMOKE") != "1" else
+                       f"SMOKE_ivfpq{M}_nlist{NLIST}_{NLIST * LPAD}docs"),
+            "value": round(adc_qps, 2), "unit": "queries/s/chip",
+            "methodology": "pipelined_dispatch",
+            "pipeline_depth": PIPELINE_DEPTH, "serving_mode": "adc_bf16",
+            "vs_baseline": round(adc_qps / BASELINE_QPS, 3),
+        }))
+        return
+
     cell_vecs = decode_cells(pidx.cell_codes, pidx.centroids)
 
     @jax.jit

@@ -30,7 +30,9 @@ def main():
     for qt_g, r_tiles in itertools.product(QT_GS, R_TILESS):
         env = dict(os.environ,
                    REPCONC_IVF_QT_G=str(qt_g),
-                   REPCONC_IVF_R_TILES=str(r_tiles))
+                   REPCONC_IVF_R_TILES=str(r_tiles),
+                   # ADC arm only: decoded serving ignores kernel geometry
+                   REPCONC_BENCH_SERVING="adc")
         print(f"=== QT_G={qt_g} R_TILES={r_tiles} ===", flush=True)
         try:
             out = subprocess.run(

@@ -1,0 +1,62 @@
+#!/bin/bash
+# Round-4 chip queue — run AFTER the round-3 queue completes (or is paused):
+#   1. full test suite ON THE CHIP (VERDICT round-3 ask #3)
+#   2. QT_G x R_TILES kernel-geometry sweep (ask #4, the untested lever)
+#   3. depth-1 (round-2 methodology) headline for the same-methodology
+#      comparison against round 2's 11,987 QPS
+#   4. decoded-residency + large-batch tables at 1M and 8.8M (ask #4's
+#      low-nprobe attack)
+#   5. held-out-encoder m12 matrix (ask #2)
+#
+# Steps 2-4 run bench.py in subprocesses: the queue watchdog pattern-kills
+# on the driver's bench.py, so this script DISARMS the watchdog around
+# those steps (/tmp/watchdog.pid) and re-arms it afterwards.
+#
+# Usage: bash recipes/round4_chip_queue.sh [workspace=/root/ws4chip]
+set -u
+WS=${1:-/root/ws4chip}
+HERE=$(cd "$(dirname "$0")" && pwd)
+REPO=$(cd "${HERE}/.." && pwd)
+mkdir -p "${WS}"
+QLOG="${WS}/queue_log.txt"
+note() { echo "[$(date '+%m-%d %H:%M:%S')] $*" | tee -a "${QLOG}"; }
+step() {
+  local NAME=$1; shift
+  if [ -f "${WS}/.done_${NAME}" ]; then note "skip ${NAME}"; return 0; fi
+  note "start ${NAME}"
+  local T0=$(date +%s)
+  if "$@" >> "${WS}/log_${NAME}.txt" 2>&1; then
+    touch "${WS}/.done_${NAME}"
+    note "done ${NAME} ($(( $(date +%s) - T0 ))s)"
+  else
+    note "FAIL ${NAME} ($(( $(date +%s) - T0 ))s) — see log_${NAME}.txt"
+    return 1
+  fi
+}
+disarm() { [ -f /tmp/watchdog.pid ] && kill "$(cat /tmp/watchdog.pid)" \
+             2>/dev/null; note "watchdog disarmed"; }
+rearm() {
+  nohup bash /tmp/queue_watchdog.sh "${1:-7200}" >/dev/null 2>&1 &
+  echo $! > /tmp/watchdog.pid
+  note "watchdog re-armed ($!)"
+}
+
+cd "${REPO}"
+
+# 1. hardware test suite (slow compiles; ~45 fixes landed since round 2)
+step tpu_pytest env REPCONC_TEST_TPU=1 python -m pytest tests/ -q
+
+# 2-4 spawn bench.py: watchdog must not fire on them
+disarm
+step qtg_sweep python recipes/bench_kernel_sweep.py
+step depth1_headline env REPCONC_BENCH_DEPTH=1 python bench.py
+step scale_1m python recipes/bench_ivf_scale.py \
+  --nlist 4096 --lpad 256 --nprobes 16,64 --batches 1200,4800 --serving all
+step scale_8m8 python recipes/bench_ivf_scale.py \
+  --nprobes 16,64,128 --batches 1200,4800 --serving all
+rearm 10800
+
+# 5. held-out matrix (long: stage0 2000 steps + 3 trained legs)
+step heldout bash "${HERE}/synthetic/round4_heldout.sh" /root/ws3 /root/ws4
+
+note "round4 chip queue complete"
