@@ -51,6 +51,11 @@ def main(argv=None):
                              "LUTs — the sweep then measures the REAL-index "
                              "recall churn of the int8 mode, not just its "
                              "random-data churn")
+    parser.add_argument("--serving", default="adc",
+                        choices=["adc", "decoded", "decoded_int8"],
+                        help="with --use_pallas: decoded-residency serving "
+                             "(the sweep then measures decoded-vs-exact "
+                             "recall on a REAL index)")
     parser.add_argument("--out", default="sweep.json")
     args = parser.parse_args(argv)
     setup_logging()
@@ -85,7 +90,8 @@ def main(argv=None):
         def run():
             if searcher is not None:
                 return searcher.search(queries, topk=args.topk, nprobe=nprobe,
-                                       lut_dtype=args.lut_dtype)
+                                       lut_dtype=args.lut_dtype,
+                                       serving=args.serving)
             return search_xla(index, queries, topk=args.topk, nprobe=nprobe)
 
         run()  # warm the jit caches
@@ -105,7 +111,8 @@ def main(argv=None):
 
     with open(args.out, "w") as f:
         json.dump({"nlist": args.nlist, "topk": args.topk,
-                   "serving": ("pallas" if args.use_pallas else "xla"),
+                   "serving": ((args.serving if args.serving != "adc"
+                                else "pallas") if args.use_pallas else "xla"),
                    "lut_dtype": args.lut_dtype if args.use_pallas else "fp32",
                    "results": results}, f, indent=1)
     logger.info("sweep -> %s", args.out)
