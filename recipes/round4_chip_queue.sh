@@ -56,7 +56,27 @@ step scale_8m8 python recipes/bench_ivf_scale.py \
   --nprobes 16,64,128 --batches 1200,4800 --serving all
 rearm 10800
 
-# 5. held-out matrix (long: stage0 2000 steps + 3 trained legs)
+# 5. decoded-vs-adc QUALITY parity on a REAL trained index (ws3 m48 warmup
+#    model + its corpus codes, IVF nlist=1024 nprobe=32): same MRR@10 to
+#    bf16/int8 churn is the end-to-end accuracy claim for decoded serving
+decoded_quality() {
+  set -e
+  local WS3=/root/ws3 EXP=/root/ws3/experiments/synth/m48
+  for SERVE in pallas decoded decoded_int8; do
+    python -m repconc_tpu.cli.run_repconc_eval       --model_name_or_path "${EXP}/warmup_model"       --corpus_path "${WS3}/data/corpus.tsv"       --query_path "${WS3}/data/queries.dev.small.tsv"       --qrel_path "${WS3}/data/qrels.dev.small.tsv"       --out_corpus_dir "${EXP}/warmup_ivf_index"       --out_query_dir "${EXP}/warmup_ivf_index/dev_${SERVE}"       --max_seq_length 128 --topk 1000       --index_type ivf --nlist 1024 --nprobe 32 --serving "${SERVE}"
+  done
+  python - <<'PYEOF'
+import json
+for serve in ("pallas", "decoded", "decoded_int8"):
+    m = json.load(open(f"/root/ws3/experiments/synth/m48/warmup_ivf_index/"
+                       f"dev_{serve}/metric.json"))
+    print(f"{serve:13s} MRR@10={m['mrr']['MRR@10']:.4f} "
+          f"R@100={m['recall']['Recall@100']:.4f}")
+PYEOF
+}
+step decoded_quality decoded_quality
+
+# 6. held-out matrix (long: stage0 2000 steps + 3 trained legs)
 step heldout bash "${HERE}/synthetic/round4_heldout.sh" /root/ws3 /root/ws4
 
 note "round4 chip queue complete"
