@@ -13,6 +13,9 @@
 # those steps (/tmp/watchdog.pid) and re-arms it afterwards.
 #
 # Usage: bash recipes/round4_chip_queue.sh [workspace=/root/ws4chip]
+#   STEPS="name1 name2" limits the run to the named steps (others are
+#   filtered, NOT marked done) so the long legs (tpu_pytest, heldout) can
+#   be scheduled independently of the quick bench steps.
 set -u
 WS=${1:-/root/ws4chip}
 HERE=$(cd "$(dirname "$0")" && pwd)
@@ -22,6 +25,9 @@ QLOG="${WS}/queue_log.txt"
 note() { echo "[$(date '+%m-%d %H:%M:%S')] $*" | tee -a "${QLOG}"; }
 step() {
   local NAME=$1; shift
+  if [ -n "${STEPS:-}" ] && ! grep -qw "${NAME}" <<< "${STEPS}"; then
+    return 0
+  fi
   if [ -f "${WS}/.done_${NAME}" ]; then note "skip ${NAME}"; return 0; fi
   note "start ${NAME}"
   local T0=$(date +%s)
@@ -47,14 +53,20 @@ cd "${REPO}"
 step tpu_pytest env REPCONC_TEST_TPU=1 python -m pytest tests/ -q
 
 # 2-4 spawn bench.py: watchdog must not fire on them
-disarm
+BENCH_SEL=0
+for B in qtg_sweep depth1_headline scale_1m scale_8m8; do
+  if [ -z "${STEPS:-}" ] || grep -qw "${B}" <<< "${STEPS}"; then
+    BENCH_SEL=1
+  fi
+done
+[ "${BENCH_SEL}" = 1 ] && disarm
 step qtg_sweep python recipes/bench_kernel_sweep.py
 step depth1_headline env REPCONC_BENCH_DEPTH=1 python bench.py
 step scale_1m python recipes/bench_ivf_scale.py \
   --nlist 4096 --lpad 256 --nprobes 16,64 --batches 1200,4800 --serving all
 step scale_8m8 python recipes/bench_ivf_scale.py \
   --nprobes 16,64,128 --batches 1200,4800 --serving all
-rearm 10800
+[ "${BENCH_SEL}" = 1 ] && rearm 10800
 
 # 5. decoded-vs-adc QUALITY parity on a REAL trained index (ws3 m48 warmup
 #    model + its corpus codes, IVF nlist=1024 nprobe=32): same MRR@10 to
