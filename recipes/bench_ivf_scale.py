@@ -44,8 +44,11 @@ def main():
     ap.add_argument("--lut_dtype", default="bf16",
                     choices=("bf16", "int8", "both"))
     ap.add_argument("--serving", default="adc",
-                    choices=("adc", "decoded", "decoded_int8", "all"),
-                    help="adc = one-hot kernel over the code store; "
+                    help="comma list of adc|decoded|decoded_int8, or 'all' "
+                         "(= adc,decoded_int8 — bf16 residency is 16 GB at "
+                         "8.8M docs and does NOT fit; request 'decoded' "
+                         "explicitly at 1M scale where it is 1.6 GB). "
+                         "adc = one-hot kernel over the code store; "
                          "decoded/decoded_int8 = HBM-resident "
                          "reconstructions scored as fat MXU matmuls "
                          "(int8 residency = 7.9 GB at 8.8M docs: the mode "
@@ -54,7 +57,10 @@ def main():
     lut_dtypes = (["bf16", "int8"] if args.lut_dtype == "both"
                   else [args.lut_dtype])
     servings = (["adc", "decoded_int8"] if args.serving == "all"
-                else [args.serving])
+                else args.serving.split(","))
+    for s in servings:
+        if s not in ("adc", "decoded", "decoded_int8"):
+            ap.error(f"unknown serving mode {s!r}")
 
     import functools
 
@@ -88,13 +94,15 @@ def main():
           f"{n_docs*M/2**30:.2f} GiB uint8 codes; "
           f"pipeline_depth={args.pipeline_depth}")
 
-    # decoded residency is built ONCE (it is load-time work in serving)
-    cell_vecs, doc_scale = None, None
+    # decoded residency is built ONCE (it is load-time work in serving);
+    # each requested mode keeps its own store so adc/decoded/decoded_int8
+    # rows can all come from one process at shapes where they co-fit
+    stores = {}
     if "decoded" in servings:
-        cell_vecs = decode_cells(cell_codes, centroids)
+        stores["decoded"] = (decode_cells(cell_codes, centroids), None)
         print(f"decoded store: {n_docs*D*2/2**30:.2f} GiB bf16")
-    elif "decoded_int8" in servings:
-        cell_vecs, doc_scale = decode_cells_int8(cell_codes, centroids)
+    if "decoded_int8" in servings:
+        stores["decoded_int8"] = decode_cells_int8(cell_codes, centroids)
         print(f"decoded store: {n_docs*D/2**30:.2f} GiB int8")
 
     @functools.partial(jax.jit, static_argnames=("nprobe", "T_max"))
@@ -131,9 +139,10 @@ def main():
                         cell_ids, nprobe=nprobe, T_max=T_max,
                         lut_dtype=lut_dtype)))
             else:
+                vecs, scale = stores[serving]
                 configs.append((serving, functools.partial(
-                    fused_decoded, queries, coarse, cell_vecs, cell_ids,
-                    doc_scale, nprobe=nprobe, T_max=T_max)))
+                    fused_decoded, queries, coarse, vecs, cell_ids,
+                    scale, nprobe=nprobe, T_max=T_max)))
 
         for label, call in configs:
             v = float(call())  # compile

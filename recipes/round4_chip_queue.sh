@@ -54,7 +54,7 @@ step tpu_pytest env REPCONC_TEST_TPU=1 python -m pytest tests/ -q
 
 # 2-4 spawn bench.py: watchdog must not fire on them
 BENCH_SEL=0
-for B in qtg_sweep depth1_headline scale_1m scale_8m8; do
+for B in qtg_sweep depth1_headline scale_1m scale_8m8a scale_8m8b; do
   if [ -z "${STEPS:-}" ] || grep -qw "${B}" <<< "${STEPS}"; then
     BENCH_SEL=1
   fi
@@ -63,9 +63,14 @@ done
 step qtg_sweep python recipes/bench_kernel_sweep.py
 step depth1_headline env REPCONC_BENCH_DEPTH=1 python bench.py
 step scale_1m python recipes/bench_ivf_scale.py \
-  --nlist 4096 --lpad 256 --nprobes 16,64 --batches 1200,4800 --serving all
-step scale_8m8 python recipes/bench_ivf_scale.py \
-  --nprobes 16,64,128 --batches 1200,4800 --serving all
+  --nlist 4096 --lpad 256 --nprobes 16,64 --batches 1200,4800 \
+  --serving adc,decoded,decoded_int8
+# 8.8M split: batch-4800 x nprobe-128 is excluded — its (T*QT_G, Lpad) f32
+# score matrix (~6.4 GB) + the 7.9 GB int8 store does not fit 16 GB HBM
+step scale_8m8a python recipes/bench_ivf_scale.py \
+  --nprobes 16,64,128 --batches 1200 --serving all
+step scale_8m8b python recipes/bench_ivf_scale.py \
+  --nprobes 16,64 --batches 4800 --serving all
 [ "${BENCH_SEL}" = 1 ] && rearm 10800
 
 # 5. decoded-vs-adc QUALITY parity on a REAL trained index (ws3 m48 warmup
