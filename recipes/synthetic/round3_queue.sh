@@ -119,8 +119,10 @@ for MM in 4 12; do
   make_env "${WS}/m${MM}.env" "${MM}" "MSE_WEIGHT=0.01"
   step "m${MM}_warmup" bash "${PIPE}" "${WS}/m${MM}.env" 5 || continue
   step "m${MM}_opq_eval" bash "${PIPE}" "${WS}/m${MM}.env" opq-eval
+  # LOWMSE_CONC_STEPS trims the stage-7 budget under wall-clock pressure
+  # (last assignment wins when run_pipeline sources the env)
   make_env "${WS}/m${MM}_lowmse.env" "${MM}" "MSE_WEIGHT=1e-4" \
-    "EXP_TAG=-lowmse"
+    "EXP_TAG=-lowmse" "CONC_STEPS=${LOWMSE_CONC_STEPS:-800}"
   mkdir -p "${WS}/experiments/synth/m${MM}-lowmse"
   ln -sfn "../m${MM}/warmup_model" \
     "${WS}/experiments/synth/m${MM}-lowmse/warmup_model"

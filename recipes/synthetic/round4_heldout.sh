@@ -88,7 +88,8 @@ MSE_WEIGHT=0.01
 EOF
   printf '%s\n' "$@" >> "${OUT}"
 }
-make_env "${WS}/m12.env"
+# HELDOUT_CONC_STEPS trims the stage-7 budget under wall-clock pressure
+make_env "${WS}/m12.env" "CONC_STEPS=${HELDOUT_CONC_STEPS:-800}"
 
 # task-side dense baseline + shared artifacts (the dense eval now measures
 # the held-out gap itself: expect well below the ws3 0.967 MRR@10)
