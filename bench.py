@@ -77,7 +77,8 @@ def main():
 
     from repconc_tpu.index.pallas_ivf import (_ivf_search_device,
                                               _ivf_search_device_decoded,
-                                              _tile_budget, decode_cells)
+                                              _tile_budget, decode_cells,
+                                              decode_cells_int8)
 
     rng = np.random.default_rng(0)
     index = IVFIndex(
@@ -155,32 +156,43 @@ def main():
         }))
         return
 
-    cell_vecs = decode_cells(pidx.cell_codes, pidx.centroids)
-
     @jax.jit
-    def searched_sum_decoded(q, coarse, vecs, cell_ids):
+    def searched_sum_decoded(q, coarse, vecs, cell_ids, scale=None):
         s, i, overflow = _ivf_search_device_decoded(
-            q, coarse, vecs, cell_ids, NPROBE, TOPK, T_max)
+            q, coarse, vecs, cell_ids, NPROBE, TOPK, T_max, doc_scale=scale)
         return (jnp.sum(s) + i[0, 0].astype(jnp.float32)
                 + overflow.astype(jnp.float32) * 1e30)
 
-    def run_pipelined_decoded(depth):
-        t0 = time.perf_counter()
-        outs = [searched_sum_decoded(queries, pidx.coarse, cell_vecs,
-                                     pidx.cell_ids) for _ in range(depth)]
-        barrier = float(outs[-1])
-        dt = time.perf_counter() - t0
-        sentinels = [float(o) for o in outs[:-1]] + [barrier]
-        assert all(abs(v) < 1e29 for v in sentinels), \
-            "tile-capacity overflow; results not exact"
-        return dt
+    def measure_decoded(vecs, scale):
+        def run_once():
+            return float(searched_sum_decoded(queries, pidx.coarse, vecs,
+                                              pidx.cell_ids, scale))
+        assert abs(run_once()) < 1e29
 
-    assert abs(float(searched_sum_decoded(
-        queries, pidx.coarse, cell_vecs, pidx.cell_ids))) < 1e29
-    times_d = [run_pipelined_decoded(PIPELINE_DEPTH) for _ in range(3)]
-    decoded_qps = PIPELINE_DEPTH * N_QUERIES / min(times_d)
+        def run_pipelined_decoded(depth):
+            t0 = time.perf_counter()
+            outs = [searched_sum_decoded(queries, pidx.coarse, vecs,
+                                         pidx.cell_ids, scale)
+                    for _ in range(depth)]
+            barrier = float(outs[-1])
+            dt = time.perf_counter() - t0
+            sentinels = [float(o) for o in outs[:-1]] + [barrier]
+            assert all(abs(v) < 1e29 for v in sentinels), \
+                "tile-capacity overflow; results not exact"
+            return dt
 
-    qps = max(adc_qps, decoded_qps)
+        times_d = [run_pipelined_decoded(PIPELINE_DEPTH) for _ in range(3)]
+        return PIPELINE_DEPTH * N_QUERIES / min(times_d)
+
+    # bf16 residency: scores identical to ADC at bf16 matmul precision
+    decoded_qps = measure_decoded(decode_cells(pidx.cell_codes,
+                                               pidx.centroids), None)
+    # int8 residency: quantized scores (MRR parity measured end-to-end by
+    # the round-4 chip queue's decoded_quality step on a real index)
+    vecs_i8, doc_scale = decode_cells_int8(pidx.cell_codes, pidx.centroids)
+    decoded_int8_qps = measure_decoded(vecs_i8, doc_scale)
+
+    qps = max(adc_qps, decoded_qps, decoded_int8_qps)
 
     print(json.dumps({
         # name kept identical across rounds (BENCH_r0N.json comparability);
@@ -199,10 +211,11 @@ def main():
         # same-engine number comparable with BENCH_r03).
         "methodology": "pipelined_dispatch",
         "pipeline_depth": PIPELINE_DEPTH,
-        "serving_mode": ("decoded_bf16" if decoded_qps >= adc_qps
-                         else "adc_bf16"),
+        "serving_mode": {adc_qps: "adc_bf16", decoded_qps: "decoded_bf16",
+                         decoded_int8_qps: "decoded_int8"}[qps],
         "adc_qps": round(adc_qps, 2),
         "decoded_qps": round(decoded_qps, 2),
+        "decoded_int8_qps": round(decoded_int8_qps, 2),
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "vs_baseline_note": "estimate: assumed 1500-QPS faiss V100 brute "
                             "PQ48 scan; reference publishes no QPS table",
