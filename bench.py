@@ -48,6 +48,67 @@ if os.environ.get("REPCONC_BENCH_SMOKE") == "1":
     N_QUERIES, TOPK, NPROBE = 64, 50, 8
 
 
+def _acquire_chip(timeout=120):
+    """Cooperative chip handoff (replaces the round-3/4 pattern-matching
+    watchdog, VERDICT r4 weak #3). A long-running experiment queue
+    (recipes/round5_queue.sh) registers its process-group id in
+    /tmp/chip.lock and stops between steps when /tmp/chip_release appears;
+    if a step is mid-flight when the driver invokes this bench, we signal
+    that EXACT registered pgid — never a name pattern — and wait for it to
+    exit so the measurement runs uncontended. The queue's own bench.py
+    children skip this via REPCONC_CHIP_LOCK_IGNORE=1 (they ARE the lock
+    holder)."""
+    if os.environ.get("REPCONC_CHIP_LOCK_IGNORE") == "1":
+        return
+    try:
+        pgid = int(open("/tmp/chip.lock").read().strip())
+    except (OSError, ValueError):
+        return
+    import signal
+    import sys
+    try:
+        open("/tmp/chip_release", "w").close()
+    except OSError:
+        pass
+    for sig in (signal.SIGTERM, signal.SIGKILL):
+        try:
+            os.killpg(pgid, sig)
+        except (ProcessLookupError, PermissionError):
+            break
+        deadline = time.time() + timeout
+        gone = False
+        while time.time() < deadline:
+            try:
+                os.killpg(pgid, 0)
+            except ProcessLookupError:
+                gone = True
+                break
+            time.sleep(1)
+        if gone:
+            break
+    try:
+        os.remove("/tmp/chip.lock")
+    except OSError:
+        pass
+    print("chip handoff: stopped queue pgid %d" % pgid, file=sys.stderr)
+    time.sleep(10)  # let the TPU runtime drop the dead client's programs
+
+
+def _int8_headline_eligible():
+    """The decoded_int8 serving mode scores quantized reconstructions; it
+    may carry the headline ONLY with measured end-to-end quality parity on
+    a real trained index (ADVICE r4 #1). docs/decoded_parity.json is
+    written from the round5_queue decoded_quality step's metric.json files
+    and records MRR@10 per serving mode."""
+    try:
+        rec = json.load(open(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "docs", "decoded_parity.json")))
+        return abs(rec["decoded_int8"]["MRR@10"]
+                   - rec["adc"]["MRR@10"]) <= 0.002
+    except (OSError, ValueError, KeyError):
+        return False
+
+
 def _check_tunnel_alive():
     """Fail fast if the axon relay is down: EVERY device op (even
     jax.devices()) hangs FOREVER through a dead tunnel (CLAUDE.md), which
@@ -70,6 +131,12 @@ def _check_tunnel_alive():
 
 def main():
     import jax
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS", "unset") == "":
+        # CPU plumbing smokes: the env var alone does not stick (the axon
+        # sitecustomize forces its platform); set it via jax.config like
+        # tests/conftest.py does
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from repconc_tpu.index.ivf import IVFIndex
@@ -192,7 +259,17 @@ def main():
     vecs_i8, doc_scale = decode_cells_int8(pidx.cell_codes, pidx.centroids)
     decoded_int8_qps = measure_decoded(vecs_i8, doc_scale)
 
-    qps = max(adc_qps, decoded_qps, decoded_int8_qps)
+    # Headline policy (ADVICE r4 #1): adc and decoded_bf16 score identically
+    # (the ADC LUT sum IS dot(query, reconstruction) at bf16 precision) so
+    # either may carry the headline; decoded_int8 is quantized scoring and
+    # is eligible only with a measured MRR-parity record on disk. The
+    # winner is picked with an explicit argmax over (value, label) pairs —
+    # a float-keyed dict would collapse exact ties.
+    arms = [(adc_qps, "adc_bf16"), (decoded_qps, "decoded_bf16")]
+    int8_ok = _int8_headline_eligible()
+    if int8_ok:
+        arms.append((decoded_int8_qps, "decoded_int8"))
+    qps, mode = max(arms, key=lambda a: a[0])
 
     print(json.dumps({
         # name kept identical across rounds (BENCH_r0N.json comparability);
@@ -211,8 +288,8 @@ def main():
         # same-engine number comparable with BENCH_r03).
         "methodology": "pipelined_dispatch",
         "pipeline_depth": PIPELINE_DEPTH,
-        "serving_mode": {adc_qps: "adc_bf16", decoded_qps: "decoded_bf16",
-                         decoded_int8_qps: "decoded_int8"}[qps],
+        "serving_mode": mode,
+        "int8_headline_eligible": int8_ok,
         "adc_qps": round(adc_qps, 2),
         "decoded_qps": round(decoded_qps, 2),
         "decoded_int8_qps": round(decoded_int8_qps, 2),
@@ -224,4 +301,5 @@ def main():
 
 if __name__ == "__main__":
     _check_tunnel_alive()
+    _acquire_chip()
     main()

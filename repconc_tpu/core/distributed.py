@@ -64,7 +64,7 @@ def initialize_from_env(force: bool = False) -> bool:
     values from the TPU metadata server; set REPCONC_COORDINATOR=auto to
     request that path explicitly.
     """
-    if jax._src.distributed.global_state.client is not None:  # already up
+    if jax.distributed.is_initialized():  # already up
         return True
     if not (force or is_distributed_env()):
         return False

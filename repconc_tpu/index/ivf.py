@@ -416,6 +416,13 @@ def serve_search(
             logger.warning("serve_search: lut_dtype=%s applies to the Pallas "
                            "paths only; the XLA scan scores exact fp32 LUTs",
                            lut_dtype)
+        if serving not in (None, "adc"):
+            # mirror the lut_dtype warning: the caller asked for decoded
+            # residency but the XLA scan scores exact LUTs from the codes —
+            # don't let them believe the decoded path was exercised
+            logger.warning("serve_search: serving=%s applies to the Pallas "
+                           "paths only; the XLA scan serves from the code "
+                           "store (exact scores)", serving)
         if mesh is not None:
             # honor the explicit XLA request: there is no mesh-sharded XLA
             # IVF scan, and silently serving with interpret-mode Pallas

@@ -621,14 +621,20 @@ class ShardedPallasIVFIndex:
             self.spill = PallasADCIndex(index.spill_codes, index.centroids)
             self.spill_ids = index.spill_ids
 
-    def enable_decoded_serving(self, dtype: str = "bf16"):
-        """Decoded residency, cell-sharded: each device decodes and holds
+    def _decoded_store(self, dtype: str):
+        """Materialize (or reuse) the cell-sharded decoded store WITHOUT
+        touching the default serving mode (ADVICE r4 #2; same single-store
+        semantics as PallasIVFIndex._decoded_store — alternating dtypes
+        rebuilds on each switch). Decode runs under shard_map so no
+        reconstruction ever crosses the mesh: each device decodes and holds
         only ITS cells' reconstructions (D*{1,2}/W bytes/doc per device —
-        2 GB/device for 8.8M docs bf16 on 8 devices). Decode runs under
-        shard_map so no reconstruction ever crosses the mesh."""
+        2 GB/device for 8.8M docs bf16 on 8 devices)."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        want = jnp.int8 if dtype == "int8" else jnp.bfloat16
+        if self.cell_vecs is not None and self.cell_vecs.dtype == want:
+            return self.cell_vecs, self.doc_scale
         if dtype == "int8":
             dec = jax.jit(shard_map(
                 lambda c, pq: decode_cells_int8(c, pq)[0], mesh=self.mesh,
@@ -640,14 +646,20 @@ class ShardedPallasIVFIndex:
             bound = jnp.max(jnp.abs(self.centroids), axis=1).reshape(D)
             self.doc_scale = jax.device_put(
                 jnp.maximum(bound, 1e-12) / 127.0, self._repl)
-            self.serving = "decoded_int8"
         else:
             dec = jax.jit(shard_map(
                 decode_cells, mesh=self.mesh,
                 in_specs=(P(self.axis), P()), out_specs=P(self.axis)))
             self.cell_vecs = dec(self.cell_codes, self.centroids)
             self.doc_scale = None
-            self.serving = "decoded"
+        return self.cell_vecs, self.doc_scale
+
+    def enable_decoded_serving(self, dtype: str = "bf16"):
+        """Materialize the cell-sharded decoded store and make decoded
+        residency the DEFAULT serving mode (the only mutation point besides
+        the constructor; per-call serving= overrides leave it untouched)."""
+        self._decoded_store(dtype)
+        self.serving = "decoded_int8" if dtype == "int8" else "decoded"
         return self
 
     def set_centroids(self, centroids):
@@ -663,9 +675,12 @@ class ShardedPallasIVFIndex:
         if getattr(self, "spill", None) is not None:
             self.spill.set_centroids(centroids)
         if getattr(self, "cell_vecs", None) is not None:
-            # decoded residency bakes the codebook: rebuild on swap
-            self.enable_decoded_serving(
-                "int8" if self.cell_vecs.dtype == jnp.int8 else "bf16")
+            # decoded residency bakes the codebook: drop the stale store on
+            # swap; rebuild eagerly only when decoded is the DEFAULT mode
+            self.cell_vecs, self.doc_scale = None, None
+            if self.serving in ("decoded", "decoded_int8"):
+                self._decoded_store(
+                    "int8" if self.serving == "decoded_int8" else "bf16")
 
     def search_device(self, query_embeds, topk: int = 1000, nprobe: int = 64,
                       capacity_factor: float | None = -1.0,
@@ -697,10 +712,8 @@ class ShardedPallasIVFIndex:
                      + self.nlist_local + 1)
         mode = serving or self.serving
         if mode in ("decoded", "decoded_int8"):
-            want = jnp.int8 if mode == "decoded_int8" else jnp.bfloat16
-            if self.cell_vecs is None or self.cell_vecs.dtype != want:
-                self.enable_decoded_serving(
-                    "int8" if mode == "decoded_int8" else "bf16")
+            vecs, scale = self._decoded_store(
+                "int8" if mode == "decoded_int8" else "bf16")
         key = (Q, topk, nprobe, T_cap, lut_dtype, mode)
         fn = self._fn_cache.get(key)
         if fn is None:  # one jit wrapper per config: a fresh wrapper per
@@ -709,9 +722,9 @@ class ShardedPallasIVFIndex:
                                        mode)
             self._fn_cache[key] = fn
         if mode in ("decoded", "decoded_int8"):
-            args = ((q, self.coarse, self.cell_vecs, self.cell_ids,
-                     self.doc_scale) if mode == "decoded_int8" else
-                    (q, self.coarse, self.cell_vecs, self.cell_ids))
+            args = ((q, self.coarse, vecs, self.cell_ids, scale)
+                    if mode == "decoded_int8" else
+                    (q, self.coarse, vecs, self.cell_ids))
             s, ids, overflow = fn(*args)
         else:
             s, ids, overflow = fn(q, self.coarse, self.centroids,
@@ -918,28 +931,42 @@ class PallasIVFIndex:
         self.K = self.centroids.shape[1]
         if getattr(self, "spill", None) is not None:
             self.spill.set_centroids(centroids)
-        # reconstructions bake the codebook: rebuild on centroid swap
-        # (centroid swap after JPQ stage-2 is a supported flow)
+        # reconstructions bake the codebook: drop the stale store on swap
+        # (centroid swap after JPQ stage-2 is a supported flow) and rebuild
+        # eagerly only when decoded residency is the DEFAULT serving mode
+        self.cell_vecs, self.doc_scale = None, None
         if self.serving in ("decoded", "decoded_int8"):
-            self.enable_decoded_serving(
+            self._decoded_store(
                 "int8" if self.serving == "decoded_int8" else "bf16")
-        elif self.cell_vecs is not None:
-            self.enable_decoded_serving(
-                "int8" if self.cell_vecs.dtype == jnp.int8 else "bf16")
+
+    def _decoded_store(self, dtype: str):
+        """Materialize (or reuse) the decoded-residency store WITHOUT
+        touching the index's default serving mode (ADVICE r4 #2). Only one
+        dtype is kept resident at a time — at 8.8M docs the bf16 (13.5 GB)
+        and int8 (6.8 GB) stores would not co-fit in 16 GB HBM — so
+        alternating dtypes per call rebuilds on each switch (a device-side
+        jit over the codes; seconds at 1M scale)."""
+        want = jnp.int8 if dtype == "int8" else jnp.bfloat16
+        if self.cell_vecs is None or self.cell_vecs.dtype != want:
+            if dtype == "int8":
+                self.cell_vecs, self.doc_scale = decode_cells_int8(
+                    self.cell_codes, self.centroids)
+            else:
+                self.cell_vecs = decode_cells(self.cell_codes,
+                                              self.centroids)
+                self.doc_scale = None
+        return self.cell_vecs, self.doc_scale
 
     def enable_decoded_serving(self, dtype: str = "bf16"):
         """Materialize (nlist, Lpad, D) reconstructions on device and make
-        decoded residency the default serving mode. dtype="int8" stores
-        scale-folded int8 (D bytes/doc, MXU s8 path — fits 8.8M docs on one
-        chip where bf16 does not); "bf16" is exact to ADC-LUT precision."""
-        if dtype == "int8":
-            self.cell_vecs, self.doc_scale = decode_cells_int8(
-                self.cell_codes, self.centroids)
-            self.serving = "decoded_int8"
-        else:
-            self.cell_vecs = decode_cells(self.cell_codes, self.centroids)
-            self.doc_scale = None
-            self.serving = "decoded"
+        decoded residency the DEFAULT serving mode — the only mutation
+        point besides the constructor; a per-call search(serving=...)
+        override materializes the store but leaves the default untouched.
+        dtype="int8" stores scale-folded int8 (D bytes/doc, MXU s8 path —
+        fits 8.8M docs on one chip where bf16 does not); "bf16" is exact
+        to ADC-LUT precision."""
+        self._decoded_store(dtype)
+        self.serving = "decoded_int8" if dtype == "int8" else "decoded"
         return self
 
     def decoded_bytes(self, dtype: str = "bf16") -> int:
@@ -976,13 +1003,11 @@ class PallasIVFIndex:
                  if capacity_factor is not None else T_worst)
         mode = serving or self.serving
         if mode in ("decoded", "decoded_int8"):
-            want = jnp.int8 if mode == "decoded_int8" else jnp.bfloat16
-            if self.cell_vecs is None or self.cell_vecs.dtype != want:
-                self.enable_decoded_serving(
-                    "int8" if mode == "decoded_int8" else "bf16")
+            vecs, scale = self._decoded_store(
+                "int8" if mode == "decoded_int8" else "bf16")
             return _ivf_search_device_decoded(
-                q, self.coarse, self.cell_vecs, self.cell_ids,
-                nprobe, topk, T_max, doc_scale=self.doc_scale)
+                q, self.coarse, vecs, self.cell_ids,
+                nprobe, topk, T_max, doc_scale=scale)
         s, i, overflow = _ivf_search_device(
             q, self.centroids, self.coarse, self.cell_codes, self.cell_ids,
             nprobe, topk, self.K, T_max, lut_dtype)
