@@ -39,6 +39,16 @@ PIPELINE_DEPTH = int(os.environ.get("REPCONC_BENCH_DEPTH", "4"))
 # sweeps tune the ADC kernel only; decoded ignores QT_G/R_TILES)
 SERVING = os.environ.get("REPCONC_BENCH_SERVING", "both")
 BASELINE_QPS = 1500.0
+# Grounding for BASELINE_QPS (round 5): faiss is not installable here, so
+# recipes/bench_cpu_baseline.sh reimplements faiss's IndexIVFPQ scan loop
+# (QueryTables + scan_list_with_table) in C++ and measures THIS host's
+# single core at the exact headline geometry. Measured 2026-08-19:
+CPU_CORE_IVFPQ_QPS = 241.1   # nprobe=64 arm (same config as this bench)
+CPU_CORE_BRUTE_QPS = 18.4    # nlist=1 brute arm (the reference's deployed
+#                              config, evaluate_repconc.py:101-118)
+# => the assumed 1,500-QPS V100 figure = ~81x one CPU core for the brute
+# scan, inside faiss's published GPU-vs-CPU range (~5-20x a multi-core
+# CPU, i.e. ~40-150x one core).
 
 if os.environ.get("REPCONC_BENCH_SMOKE") == "1":
     # tiny shapes for CPU plumbing smokes of the bench + sweep drivers
@@ -220,6 +230,8 @@ def main():
             "methodology": "pipelined_dispatch",
             "pipeline_depth": PIPELINE_DEPTH, "serving_mode": "adc_bf16",
             "vs_baseline": round(adc_qps / BASELINE_QPS, 3),
+            "vs_cpu_core_same_config": round(adc_qps / CPU_CORE_IVFPQ_QPS,
+                                             1),
         }))
         return
 
@@ -294,8 +306,14 @@ def main():
         "decoded_qps": round(decoded_qps, 2),
         "decoded_int8_qps": round(decoded_int8_qps, 2),
         "vs_baseline": round(qps / BASELINE_QPS, 3),
-        "vs_baseline_note": "estimate: assumed 1500-QPS faiss V100 brute "
-                            "PQ48 scan; reference publishes no QPS table",
+        "vs_baseline_note": (
+            "assumed 1500-QPS faiss V100 brute PQ48 scan (reference "
+            "publishes no QPS table), grounded r5 by a same-geometry "
+            "single-core CPU measurement on this host "
+            "(recipes/bench_cpu_baseline.sh): brute 18.4 QPS/core, "
+            "IVF-nprobe64 241 QPS/core => 1500 QPS = ~81x one core, "
+            "inside faiss's published GPU-vs-CPU range"),
+        "vs_cpu_core_same_config": round(qps / CPU_CORE_IVFPQ_QPS, 1),
     }))
 
 
