@@ -43,10 +43,10 @@ BASELINE_QPS = 1500.0
 # recipes/bench_cpu_baseline.sh reimplements faiss's IndexIVFPQ scan loop
 # (QueryTables + scan_list_with_table) in C++ and measures THIS host's
 # single core at the exact headline geometry. Measured 2026-08-19:
-CPU_CORE_IVFPQ_QPS = 241.1   # nprobe=64 arm (same config as this bench)
-CPU_CORE_BRUTE_QPS = 18.4    # nlist=1 brute arm (the reference's deployed
+CPU_CORE_IVFPQ_QPS = 241.1   # nprobe=64 arm (max of 2 runs)
+CPU_CORE_BRUTE_QPS = 23.4    # nlist=1 brute arm (the reference's deployed
 #                              config, evaluate_repconc.py:101-118)
-# => the assumed 1,500-QPS V100 figure = ~81x one CPU core for the brute
+# => the assumed 1,500-QPS V100 figure = ~64x one CPU core for the brute
 # scan, inside faiss's published GPU-vs-CPU range (~5-20x a multi-core
 # CPU, i.e. ~40-150x one core).
 
@@ -310,8 +310,8 @@ def main():
             "assumed 1500-QPS faiss V100 brute PQ48 scan (reference "
             "publishes no QPS table), grounded r5 by a same-geometry "
             "single-core CPU measurement on this host "
-            "(recipes/bench_cpu_baseline.sh): brute 18.4 QPS/core, "
-            "IVF-nprobe64 241 QPS/core => 1500 QPS = ~81x one core, "
+            "(recipes/bench_cpu_baseline.sh): brute 23.4 QPS/core, "
+            "IVF-nprobe64 241 QPS/core => 1500 QPS = ~64x one core, "
             "inside faiss's published GPU-vs-CPU range"),
         "vs_cpu_core_same_config": round(qps / CPU_CORE_IVFPQ_QPS, 1),
     }))
