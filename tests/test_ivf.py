@@ -315,6 +315,44 @@ def test_decoded_index_modes(built):
     assert not np.allclose(np.asarray(s2), np.asarray(s3))
 
 
+def test_decoded_override_leaves_default_mode():
+    """ADVICE r4 #2 regression: a per-call serving= override materializes
+    the decoded store but must NOT flip the index's default serving mode,
+    and a codebook swap on an adc-default index must not force-enable
+    decoded serving either."""
+    from repconc_tpu.index.pallas_ivf import PallasIVFIndex
+
+    # K=32 so the ADC kernel's group geometry (gm*K % 128 == 0) is valid
+    # (the module fixture's K=16 is decoded/XLA-only)
+    rng = np.random.default_rng(11)
+    N, D, M, K = 3000, 32, 4, 32
+    embeds = rng.normal(size=(N, D)).astype(np.float32)
+    cent, _ = pq_fit(jnp.asarray(embeds[:1500]), M=M, K=K, iters=8)
+    cent = np.asarray(cent)
+    codes = pq_encode_chunked(embeds, jnp.asarray(cent), chunk=1024)
+    index = build_ivf(embeds, codes, cent, nlist=32, kmeans_iters=8)
+    queries = embeds[rng.integers(0, N, 32)]
+    pidx = PallasIVFIndex(index)            # default: adc
+    s_adc, i_adc, _ = pidx.search_device(queries[:8], topk=5,
+                                         nprobe=index.nlist)
+    pidx.search_device(queries[:8], topk=5, nprobe=index.nlist,
+                       serving="decoded")
+    assert pidx.serving == "adc"            # default untouched
+    assert pidx.cell_vecs is not None       # store materialized, though
+    # default-mode search still serves ADC (bit-identical to before)
+    s_after, i_after, _ = pidx.search_device(queries[:8], topk=5,
+                                             nprobe=index.nlist)
+    np.testing.assert_array_equal(np.asarray(i_adc), np.asarray(i_after))
+    np.testing.assert_allclose(np.asarray(s_adc), np.asarray(s_after))
+    # centroid swap with adc default: stale store dropped, not re-enabled
+    pidx.set_centroids(cent * 1.01)
+    assert pidx.serving == "adc" and pidx.cell_vecs is None
+    # explicit enable still flips the default
+    pidx.enable_decoded_serving("int8")
+    assert pidx.serving == "decoded_int8"
+    assert pidx.cell_vecs.dtype == jnp.int8 and pidx.doc_scale is not None
+
+
 def test_serve_search_decoded_int8():
     """decoded_int8 (scale-folded int8 residency, MXU s8 path): close to the
     bf16 decoded scores, high top-k agreement, per-dim scale folding exact."""
