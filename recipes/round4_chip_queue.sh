@@ -16,6 +16,9 @@
 #   STEPS="name1 name2" limits the run to the named steps (others are
 #   filtered, NOT marked done) so the long legs (tpu_pytest, heldout) can
 #   be scheduled independently of the quick bench steps.
+## SUPERSEDED by recipes/round5_queue.sh (cooperative chip lock, failure
+## tracking); kept for round-4 provenance. Its steps are embedded in the
+## round-5 queue.
 set -u
 WS=${1:-/root/ws4chip}
 HERE=$(cd "$(dirname "$0")" && pwd)
@@ -23,6 +26,7 @@ REPO=$(cd "${HERE}/.." && pwd)
 mkdir -p "${WS}"
 QLOG="${WS}/queue_log.txt"
 note() { echo "[$(date '+%m-%d %H:%M:%S')] $*" | tee -a "${QLOG}"; }
+FAILED=0
 step() {
   local NAME=$1; shift
   if [ -n "${STEPS:-}" ] && ! grep -qw "${NAME}" <<< "${STEPS}"; then
@@ -36,6 +40,7 @@ step() {
     note "done ${NAME} ($(( $(date +%s) - T0 ))s)"
   else
     note "FAIL ${NAME} ($(( $(date +%s) - T0 ))s) — see log_${NAME}.txt"
+    FAILED=$((FAILED+1))
     return 1
   fi
 }
@@ -96,4 +101,8 @@ step decoded_quality decoded_quality
 # 6. held-out matrix (long: stage0 2000 steps + 3 trained legs)
 step heldout bash "${HERE}/synthetic/round4_heldout.sh" /root/ws3 /root/ws4
 
-note "round4 chip queue complete"
+if [ "${FAILED}" = 0 ]; then
+  note "round4 chip queue complete"
+else
+  note "round4 chip queue finished with ${FAILED} failures"
+fi
