@@ -38,6 +38,18 @@ mkdir -p "${WS}"
 QLOG="${WS}/queue_log.txt"
 note() { echo "[$(date '+%m-%d %H:%M:%S')] $*" | tee -a "${QLOG}"; }
 
+# Single-instance guard: CLAUDE.md tells every session to launch this
+# queue, so a second launch while one is mid-step is expected operator
+# input — refuse it instead of double-running training jobs on a 1-core
+# host (two concurrent run_train_conc's stomped the same output_dir on
+# 08-19; only an 11-min kill window saved the checkpoints).
+if [ -f /tmp/chip.lock ]; then
+  OLDPG=$(cat /tmp/chip.lock)
+  if [ -n "${OLDPG}" ] && ps -o pid= -g "${OLDPG}" > /dev/null 2>&1; then
+    note "another queue instance is alive (pgid ${OLDPG}) — exiting"
+    exit 0
+  fi
+fi
 ps -o pgid= -p $$ | tr -d ' ' > /tmp/chip.lock
 trap 'rm -f /tmp/chip.lock' EXIT
 rm -f /tmp/chip_release
