@@ -141,6 +141,23 @@ if [ -f "${WS}/.done_feed_gate" ]; then
     /root/ws8m "$(e2e_model)" 8800000
 fi
 
+# ---- 5b. decoded_int8 residency on the REAL 8.8M index (search-only:
+#          codes + IVF layout are artifact-cached by 5, so this re-serves
+#          the same dev queries through the int8-residency matmul path —
+#          the first real-codes datapoint for the headline serving mode
+#          at MS MARCO scale) ----
+if [ -f "${WS}/.done_e2e_8m8" ]; then
+  step e2e_decoded_int8 python -m repconc_tpu.cli.run_repconc_eval \
+    --model_name_or_path "$(e2e_model)" \
+    --corpus_path /root/ws8m/data/corpus.tsv \
+    --query_path /root/ws8m/data/queries.dev.small.tsv \
+    --qrel_path /root/ws8m/data/qrels.dev.small.tsv \
+    --out_corpus_dir /root/ws8m/eval \
+    --out_query_dir /root/ws8m/eval/dev_decoded_int8 \
+    --max_seq_length 128 --topk 1000 \
+    --index_type ivf --nlist 5000 --nprobe 64 --serving decoded_int8
+fi
+
 # ---- 6. kernel sweep + headline + scale tables (bench.py children must
 #         not trip the chip-lock handoff: they ARE the lock holder) ----
 export REPCONC_CHIP_LOCK_IGNORE=1
