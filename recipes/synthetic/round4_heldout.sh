@@ -96,7 +96,17 @@ make_env "${WS}/m12.env" "CONC_STEPS=${HELDOUT_CONC_STEPS:-800}"
 step shared bash "${PIPE}" "${WS}/m12.env" 2 3 4 5 6 || exit 1
 step opq_eval bash "${PIPE}" "${WS}/m12.env" opq-eval
 step jpq_only bash "${PIPE}" "${WS}/m12.env" jpq-train jpq-eval
-step conc bash "${PIPE}" "${WS}/m12.env" 7 8 9 10
+# conc split per stage so a wall-clock cutoff can stop stage 7 mid-run
+# (best-by-MRR checkpoints land every EVAL_STEPS; touch .done_conc7 and
+# re-run to eval the best checkpoint), and so the 9/10 stage-2 leg can be
+# skipped under time pressure (HELDOUT_RUN_JPQ9=0) — the core ordering
+# claim needs only opq / jpq_only / conc_index.
+step conc7 bash "${PIPE}" "${WS}/m12.env" 7
+step conc8 bash "${PIPE}" "${WS}/m12.env" 8
+if [ "${HELDOUT_RUN_JPQ9:-1}" = "1" ]; then
+  step conc9 bash "${PIPE}" "${WS}/m12.env" 9
+  step conc10 bash "${PIPE}" "${WS}/m12.env" 10
+fi
 
 note "heldout matrix complete"
 python - <<EOF
