@@ -27,6 +27,14 @@ if [ ! -f "${WS}/data/corpus.tsv" ]; then
     --n_docs "${NDOCS}"
 fi
 
+# offline tokens (cli/run_pretokenize.py) make the encode device-bound on
+# this 1-core host; the flag is a no-op fallback if the cache is absent or
+# stale (exact-keyed on corpus/tokenizer/length)
+TOKEN_CACHE_FLAG=""
+if [ -f "${WS}/token_cache/token_meta.json" ]; then
+  TOKEN_CACHE_FLAG="--token_cache_dir ${WS}/token_cache"
+fi
+
 T0=$(date +%s)
 python -m repconc_tpu.cli.run_repconc_eval \
     --model_name_or_path "${MODEL}" \
@@ -37,6 +45,6 @@ python -m repconc_tpu.cli.run_repconc_eval \
     --out_query_dir "${WS}/eval/dev" \
     --max_seq_length ${MAX_SEQ_LEN:-128} --topk ${TOPK:-1000} \
     --index_type ivf --nlist ${NLIST:-5000} --nprobe ${NPROBE:-64} \
-    --serving ${SERVING:-auto}
+    --serving ${SERVING:-auto} ${TOKEN_CACHE_FLAG}
 echo "end-to-end wall: $(( $(date +%s) - T0 ))s"
 cat "${WS}/eval/dev/timings.json"

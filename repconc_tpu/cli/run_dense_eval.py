@@ -39,6 +39,10 @@ def build_parser():
     parser.add_argument("--similarity_metric", default=None)
     parser.add_argument("--pooling", default=None)
     parser.add_argument("--per_device_eval_batch_size", type=int, default=256)
+    parser.add_argument("--token_cache_dir", default=None,
+                        help="offline corpus tokens from run_pretokenize; "
+                        "ignored (with a warning) unless it exactly matches "
+                        "the corpus/tokenizer/length")
     parser.add_argument("--relevance_level", type=int, default=1,
                         help="minimum qrel grade counted relevant for the "
                              "binary metrics (TREC DL graded qrels use 2; "
@@ -114,7 +118,8 @@ def main(argv=None):
         corpus_embeds, corpus_ids = encode_corpus(
             corpus, config, params, tokenizer, args.max_seq_length,
             batch_size=args.per_device_eval_batch_size,
-            output="continuous_embedding", mesh=mesh, cache_dir=shard_cache)
+            output="continuous_embedding", mesh=mesh, cache_dir=shard_cache,
+            token_cache_dir=args.token_cache_dir)
         if args.save_corpus_embed:
             os.makedirs(args.out_corpus_dir, exist_ok=True)
             from repconc_tpu.core.checkpoint import atomic_np_save

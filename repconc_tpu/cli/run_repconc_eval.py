@@ -43,6 +43,10 @@ def build_parser():
     parser.add_argument("--data_format", default="msmarco",
                         choices=["msmarco", "beir"])
     parser.add_argument("--per_device_eval_batch_size", type=int, default=256)
+    parser.add_argument("--token_cache_dir", default=None,
+                        help="offline corpus tokens from run_pretokenize; "
+                        "ignored (with a warning) unless it exactly matches "
+                        "the corpus/tokenizer/length")
     parser.add_argument("--relevance_level", type=int, default=1,
                         help="minimum qrel grade counted relevant for the "
                              "binary metrics (TREC DL graded qrels use 2; "
@@ -140,7 +144,8 @@ def main(argv=None):
             codes, corpus_ids = encode_corpus(
                 corpus, config, params, tokenizer, args.max_seq_length,
                 batch_size=args.per_device_eval_batch_size, output="code",
-                mesh=mesh, stopwatch=sw, cache_dir=shard_cache)
+                mesh=mesh, stopwatch=sw, cache_dir=shard_cache,
+                token_cache_dir=args.token_cache_dir)
         os.makedirs(args.out_corpus_dir, exist_ok=True)
         from repconc_tpu.core.checkpoint import atomic_np_save
         atomic_np_save(codes_path, codes)

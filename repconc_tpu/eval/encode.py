@@ -60,6 +60,150 @@ def pad_to_bucket(ids: np.ndarray, mask: np.ndarray, max_length: int,
     return ids, mask
 
 
+class TokenCache:
+    """Offline tokenization cache for corpus encoding.
+
+    On a many-core host the reference hides tokenization cost inside
+    DataLoader workers (evaluate_repconc.py:147-153). This host has ONE
+    core, so even with the producer-thread overlap below, large-corpus
+    encode is tokenize-bound (measured at 8.8M docs: 180 s/shard tokenize
+    vs 93 s/shard device — the device idles half the time). This cache
+    moves tokenization fully offline (cli/run_pretokenize.py, runnable on
+    any idle CPU window), after which encode is device-bound.
+
+    Layout: `ids.npy` (n, width) in the narrowest dtype that holds the
+    vocab, `lengths.npy` (n,), and `token_meta.json` keyed on corpus
+    fingerprint, tokenizer fingerprint, max_seq_length and text type.
+    Per-doc ids are stored truncated but NOT batch-padded, so slicing
+    reconstructs `tokenize_batch`'s output exactly for ANY batch size:
+    HF pads to the longest row in the batch and the attention mask is a
+    length ramp — both recomputed here from `lengths`.
+    """
+
+    META = "token_meta.json"
+
+    def __init__(self, ids: np.ndarray, lengths: np.ndarray, offset: int = 0):
+        self._ids = ids
+        self._lengths = lengths
+        self._offset = offset
+
+    # -- identity -----------------------------------------------------------
+    @staticmethod
+    def tokenizer_fingerprint(tokenizer) -> str:
+        import hashlib
+
+        h = hashlib.sha1(type(tokenizer).__name__.encode())
+        try:
+            vocab = tokenizer.get_vocab()
+            for tok, idx in sorted(vocab.items(), key=lambda kv: kv[1]):
+                h.update(f"{tok}\x00{idx}\x01".encode("utf-8", "ignore"))
+        except AttributeError:  # adapter tokenizers without get_vocab
+            h.update(repr(tokenizer).encode("utf-8", "ignore"))
+        return h.hexdigest()
+
+    @classmethod
+    def _meta(cls, texts, tokenizer, max_seq_length: int,
+              input_text_type: str, corpus_fp: Optional[str] = None) -> dict:
+        return {"n": len(texts),
+                "max_seq_length": int(max_seq_length),
+                "input_text_type": input_text_type,
+                "corpus_fp": corpus_fp or _corpus_fingerprint(texts),
+                "tokenizer_fp": cls.tokenizer_fingerprint(tokenizer)}
+
+    # -- build / open -------------------------------------------------------
+    @classmethod
+    def build(cls, texts, tokenizer, max_seq_length: int, cache_dir: str,
+              input_text_type: str = "doc", chunk: int = 8192,
+              corpus_fp: Optional[str] = None, verbose: bool = False) -> "TokenCache":
+        """Tokenize `texts` (already in encode order) into `cache_dir`."""
+        os.makedirs(cache_dir, exist_ok=True)
+        meta = cls._meta(texts, tokenizer, max_seq_length, input_text_type,
+                         corpus_fp)
+        n = len(texts)
+        vocab_size = getattr(tokenizer, "vocab_size", None) or (1 << 31) - 1
+        dtype = "uint16" if vocab_size < (1 << 16) else "int32"
+        ids_path = os.path.join(cache_dir, "ids.npy")
+        tmp = ids_path + ".tmp"
+        ids_mm = np.lib.format.open_memmap(
+            tmp, mode="w+", dtype=dtype, shape=(n, max_seq_length))
+        lengths = np.zeros((n,), dtype=np.int32)
+        for start in range(0, n, chunk):
+            batch = list(texts[start:start + chunk])
+            bids, bmask = tokenize_batch(tokenizer, batch, max_seq_length,
+                                         input_text_type)
+            lens = bmask.sum(axis=1)
+            width = bids.shape[1]
+            ids_mm[start:start + len(batch), :width] = bids
+            lengths[start:start + len(batch)] = lens
+            if verbose and (start // chunk) % 20 == 0:
+                logger.info("pretokenize %d/%d", min(start + chunk, n), n)
+        ids_mm.flush()
+        del ids_mm
+        os.replace(tmp, ids_path)
+        np.save(os.path.join(cache_dir, "lengths.npy"), lengths)
+        with open(os.path.join(cache_dir, cls.META), "w") as f:
+            json.dump(meta, f)
+        return cls(np.load(ids_path, mmap_mode="r"), lengths)
+
+    @classmethod
+    def open(cls, cache_dir: Optional[str], texts, tokenizer,
+             max_seq_length: int, input_text_type: str = "doc",
+             corpus_fp: Optional[str] = None) -> Optional["TokenCache"]:
+        """Open a cache if it exactly matches (corpus, tokenizer, settings);
+        return None (with a warning) otherwise — callers fall back to online
+        tokenization, never to stale tokens."""
+        if cache_dir is None:
+            return None
+        meta_path = os.path.join(cache_dir, cls.META)
+        if not os.path.exists(meta_path):
+            logger.warning("token cache %s: not built — tokenizing online",
+                           cache_dir)
+            return None
+        try:
+            with open(meta_path) as f:
+                have = json.load(f)
+            want = cls._meta(texts, tokenizer, max_seq_length,
+                             input_text_type, corpus_fp)
+            if have != want:
+                diff = [k for k in want if have.get(k) != want[k]]
+                logger.warning("token cache %s is stale (mismatch: %s) — "
+                               "tokenizing online", cache_dir, diff)
+                return None
+            ids = np.load(os.path.join(cache_dir, "ids.npy"), mmap_mode="r")
+            lengths = np.load(os.path.join(cache_dir, "lengths.npy"))
+        except (OSError, ValueError, json.JSONDecodeError) as e:
+            logger.warning("token cache %s unreadable (%s) — tokenizing "
+                           "online", cache_dir, e)
+            return None
+        logger.info("token cache hit: %s (%d docs)", cache_dir, len(lengths))
+        return cls(ids, lengths)
+
+    # -- use ----------------------------------------------------------------
+    def slice(self, start: int, stop: int) -> "TokenCache":
+        """A zero-copy view over [start, stop) — matches encode_corpus's
+        texts[start:stop] shard slicing."""
+        return TokenCache(self._ids, self._lengths, offset=self._offset + start)
+
+    def batch(self, start: int, batch_size: int, n: int):
+        """Rows [start, start+batch_size) of the view, the tail padded with
+        copies of the last real row — bit-identical to tokenize_batch() on
+        the equivalent copy-padded text batch. `n` is the view's text count."""
+        real = min(batch_size, n - start)
+        lo = self._offset + start
+        lens = np.asarray(self._lengths[lo:lo + real])
+        # one contiguous memmap read (row-by-row fancy indexing is ~10x
+        # slower); tail copies are appended host-side
+        ids = np.asarray(self._ids[lo:lo + real], dtype=np.int32)
+        if real < batch_size:
+            pad = batch_size - real
+            lens = np.concatenate([lens, np.repeat(lens[-1:], pad)])
+            ids = np.concatenate([ids, np.repeat(ids[-1:], pad, axis=0)])
+        width = max(int(lens.max()), 1)
+        ids = ids[:, :width]
+        mask = (np.arange(width)[None, :] < lens[:, None]).astype(np.int32)
+        return ids, mask
+
+
 def _encode_fn(config: RepConcConfig, output: str, mesh=None):
     """Jitted encode fn; with `mesh`, the batch dim shards over the mesh's
     data axis (SPMD replacement for the reference's DDP predict sharding,
@@ -110,13 +254,16 @@ def encode_texts(
     mesh=None,
     stopwatch=None,
     prepared=None,
+    token_cache: Optional["TokenCache"] = None,
 ) -> np.ndarray:
     """Encode a list of texts to codes (uint8) or continuous embeds (fp32).
 
     mesh: shard each encode batch over the mesh's data axis (batch_size is
     rounded up to a multiple of the mesh size).
     prepared: `(fn, params)` from prepare_encoder — reuse across calls to
-    avoid per-call re-jit (and per-call param re-pinning)."""
+    avoid per-call re-jit (and per-call param re-pinning).
+    token_cache: a TokenCache view aligned with `texts` — the producer
+    slices precomputed tokens instead of running the tokenizer."""
     limit = config.encoder.max_position_embeddings - config.encoder.position_offset
     if max_seq_length > limit:
         logger.warning("max_seq_length %d exceeds the encoder's position table"
@@ -169,13 +316,17 @@ def encode_texts(
             for start in range(0, n, batch_size):
                 if stop.is_set():
                     return
-                batch = list(texts[start:start + batch_size])
-                real = len(batch)
-                if real < batch_size:  # static batch shape: pad with copies
-                    batch = batch + [batch[-1]] * (batch_size - real)
+                real = min(batch_size, n - start)
                 with sw("tokenize"):
-                    ids, mask = tokenize_batch(tokenizer, batch,
-                                               max_seq_length, input_text_type)
+                    if token_cache is not None:
+                        ids, mask = token_cache.batch(start, batch_size, n)
+                    else:
+                        batch = list(texts[start:start + batch_size])
+                        if real < batch_size:  # static shape: pad with copies
+                            batch = batch + [batch[-1]] * (batch_size - real)
+                        ids, mask = tokenize_batch(tokenizer, batch,
+                                                   max_seq_length,
+                                                   input_text_type)
                     ids, mask = pad_to_bucket(ids, mask, max_seq_length,
                                               pad_id)
                 if not _put((start, real, ids, mask)):
@@ -257,6 +408,7 @@ def encode_corpus(
     stopwatch=None,
     cache_dir: Optional[str] = None,
     shard_size: int = 262144,
+    token_cache_dir: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode a {docid: text} corpus, longest-first
     (reference: evaluate_repconc.py:138-159). Returns (codes_or_embeds, corpus_ids).
@@ -273,10 +425,18 @@ def encode_corpus(
     logger.info("Sorting corpus by document length (longest first)...")
     corpus_ids = np.array(sorted(corpus, key=lambda k: len(corpus[k]), reverse=True))
     texts = [corpus[cid] for cid in corpus_ids]
+    corpus_fp = _corpus_fingerprint(texts)
+    # offline tokens (cli/run_pretokenize.py); the open() is keyed on the
+    # SAME clamped length encode_texts will tokenize at
+    limit = config.encoder.max_position_embeddings - config.encoder.position_offset
+    token_cache = TokenCache.open(token_cache_dir, texts, tokenizer,
+                                  min(max_seq_length, limit),
+                                  input_text_type="doc", corpus_fp=corpus_fp)
     if cache_dir is None:
         enc = encode_texts(texts, config, params, tokenizer, max_seq_length,
                            batch_size, output=output, input_text_type="doc",
-                           verbose=True, mesh=mesh, stopwatch=stopwatch)
+                           verbose=True, mesh=mesh, stopwatch=stopwatch,
+                           token_cache=token_cache)
         return enc, corpus_ids
 
     n = len(texts)
@@ -292,7 +452,7 @@ def encode_corpus(
             "shard_size": shard_size,
             "first_id": str(corpus_ids[0]), "last_id": str(corpus_ids[-1]),
             "params_fp": _params_fingerprint(params),
-            "corpus_fp": _corpus_fingerprint(texts)}
+            "corpus_fp": corpus_fp}
     os.makedirs(cache_dir, exist_ok=True)
     meta_path = os.path.join(cache_dir, "meta.json")
     stale = True
@@ -324,7 +484,10 @@ def encode_corpus(
                                params, tokenizer, max_seq_length, batch_size,
                                output=output, input_text_type="doc",
                                verbose=True, mesh=mesh, stopwatch=stopwatch,
-                               prepared=prepared)
+                               prepared=prepared,
+                               token_cache=token_cache.slice(
+                                   start, start + shard_size)
+                               if token_cache is not None else None)
             tmp = os.path.join(cache_dir, f".shard_{i:06d}.tmp.npy")
             np.save(tmp, enc)
             os.replace(tmp, path)

@@ -154,3 +154,128 @@ def test_encode_empty_inputs(tiny_model):
     emb, qids = encode_queries({}, config, params, tokenizer, 32, batch_size=8)
     assert emb.shape == (0, config.encoder.hidden_size)
     assert emb.dtype == np.float32 and len(qids) == 0
+
+
+# ---------------------------------------------------------------------------
+# Offline tokenization cache (TokenCache / cli.run_pretokenize): moves the
+# tokenizer pass off the encode critical path. On the 1-core bench host the
+# 8.8M-doc encode is tokenize-bound (180 s tokenize vs 93 s device per
+# shard); with precomputed tokens encode is device-bound. The reference has
+# no offline equivalent — it hides the cost in DataLoader workers
+# (evaluate_repconc.py:147-153), which needs a many-core host.
+# ---------------------------------------------------------------------------
+
+def test_token_cache_batches_bit_identical(tiny_model, corpus, tmp_path):
+    """Cache slices must reproduce tokenize_batch() EXACTLY for every batch
+    position, including the copy-padded tail — same ids, same mask."""
+    from repconc_tpu.eval.encode import TokenCache, tokenize_batch
+
+    _, _, tok = tiny_model
+    texts = [corpus[k] for k in
+             sorted(corpus, key=lambda k: len(corpus[k]), reverse=True)]
+    cache = TokenCache.build(texts, tok, 16, str(tmp_path / "tc"), chunk=7)
+    n, bs = len(texts), 16
+    for start in range(0, n, bs):
+        batch = list(texts[start:start + bs])
+        real = len(batch)
+        if real < bs:
+            batch = batch + [batch[-1]] * (bs - real)
+        ref_ids, ref_mask = tokenize_batch(tok, batch, 16, "doc")
+        got_ids, got_mask = cache.batch(start, bs, n)
+        np.testing.assert_array_equal(got_ids, ref_ids)
+        np.testing.assert_array_equal(got_mask, ref_mask)
+
+
+def test_token_cache_sharded_slices(tiny_model, corpus, tmp_path):
+    """slice() views must line up with encode_corpus's shard windows."""
+    from repconc_tpu.eval.encode import TokenCache, tokenize_batch
+
+    _, _, tok = tiny_model
+    texts = [corpus[k] for k in
+             sorted(corpus, key=lambda k: len(corpus[k]), reverse=True)]
+    cache = TokenCache.build(texts, tok, 16, str(tmp_path / "tc"))
+    shard = cache.slice(32, 64)
+    sub = texts[32:64]
+    ref_ids, ref_mask = tokenize_batch(tok, sub[5:13], 16, "doc")
+    got_ids, got_mask = shard.batch(5, 8, len(sub))
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    np.testing.assert_array_equal(got_mask, ref_mask)
+
+
+def test_encode_corpus_with_token_cache_matches(tiny_model, corpus, tmp_path):
+    from repconc_tpu.eval.encode import TokenCache
+
+    config, params, tok = tiny_model
+    texts = [corpus[k] for k in
+             sorted(corpus, key=lambda k: len(corpus[k]), reverse=True)]
+    tc_dir = str(tmp_path / "tc")
+    TokenCache.build(texts, tok, 16, tc_dir)
+    ref, ref_ids = encode_corpus(corpus, config, params, tok,
+                                 max_seq_length=16, batch_size=16,
+                                 output="continuous_embedding")
+    out, ids = encode_corpus(corpus, config, params, tok,
+                             max_seq_length=16, batch_size=16,
+                             output="continuous_embedding",
+                             cache_dir=str(tmp_path / "shards"), shard_size=32,
+                             token_cache_dir=tc_dir)
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_stale_token_cache_falls_back(tiny_model, corpus, tmp_path, caplog):
+    """A cache built for a DIFFERENT corpus/length must be ignored (warning +
+    online tokenization), never silently used."""
+    import logging
+
+    from repconc_tpu.eval.encode import TokenCache
+
+    config, params, tok = tiny_model
+    texts = [corpus[k] for k in
+             sorted(corpus, key=lambda k: len(corpus[k]), reverse=True)]
+    tc_dir = str(tmp_path / "tc")
+    TokenCache.build(texts[:50], tok, 16, tc_dir)  # wrong corpus subset
+    ref, _ = encode_corpus(corpus, config, params, tok, max_seq_length=16,
+                           batch_size=16, output="continuous_embedding")
+    with caplog.at_level(logging.WARNING):
+        out, _ = encode_corpus(corpus, config, params, tok, max_seq_length=16,
+                               batch_size=16, output="continuous_embedding",
+                               token_cache_dir=tc_dir)
+    assert any("stale" in r.message for r in caplog.records)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_pretokenize_cli_roundtrip(tiny_model, corpus, tmp_path):
+    """The CLI must replicate the eval CLIs' corpus loading + sort order so
+    its cache hits at encode time (exercises the raw-HF-dir config fallback
+    and load_corpus's title[SEP]body concat)."""
+    from repconc_tpu.cli import run_pretokenize
+    from repconc_tpu.eval.encode import TokenCache
+    from repconc_tpu.eval.run_io import load_corpus
+
+    config, params, tok = tiny_model
+    rng = np.random.default_rng(9)
+    corpus_path = tmp_path / "corpus.tsv"
+    with open(corpus_path, "w") as f:
+        for i in range(60):
+            title = " ".join(rng.choice(WORDS, size=2))
+            body = " ".join(rng.choice(WORDS, size=int(rng.integers(3, 12))))
+            f.write(f"d{i}\t{title}\t{body}\n")
+    # the tiny_model fixture saved the raw HF dir next to the tokenizer;
+    # recover it from the tokenizer itself
+    model_dir = tok.name_or_path
+    tc_dir = str(tmp_path / "tc")
+    run_pretokenize.main(["--model_name_or_path", model_dir,
+                          "--corpus_path", str(corpus_path),
+                          "--output_dir", tc_dir,
+                          "--max_seq_length", "16", "--chunk", "17"])
+    loaded = load_corpus(str(corpus_path), tok.sep_token)
+    sorted_texts = [loaded[k] for k in
+                    sorted(loaded, key=lambda k: len(loaded[k]), reverse=True)]
+    hit = TokenCache.open(tc_dir, sorted_texts, tok, 16, "doc")
+    assert hit is not None
+    out, _ = encode_corpus(loaded, config, params, tok, max_seq_length=16,
+                           batch_size=16, output="continuous_embedding",
+                           token_cache_dir=tc_dir)
+    ref, _ = encode_corpus(loaded, config, params, tok, max_seq_length=16,
+                           batch_size=16, output="continuous_embedding")
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
