@@ -396,6 +396,14 @@ def train(
             history.append(m)
             log(m)
         if hp.eval_steps and valid_set is not None and step % hp.eval_steps == 0:
+            # Checkpoint BEFORE the eval when a save is due at this step:
+            # the eval's first run jit-compiles fresh programs, and on this
+            # environment's remote-compile tunnel a compile request can
+            # wedge indefinitely (CLAUDE.md) — the kill-and-retry must not
+            # lose the training progress behind the eval boundary. Resume
+            # redoes the eval; `best` is re-derived from its metric.
+            if hp.save_steps and step % hp.save_steps == 0 and is_main:
+                save_train_state(ckpt_dir, params, opt_state, step, best)
             corpus, queries, qrels = valid_set
             eval_fn = evaluate_repconc_model if hp.quantize else evaluate_dense_model
             eval_m = eval_fn(

@@ -195,6 +195,36 @@ def test_train_loop_end_to_end(tiny, rng, tmp_path):
     assert out2["step"] == 6
 
 
+def test_checkpoint_lands_before_eval(tiny, rng, tmp_path, monkeypatch):
+    """When a save is due at an eval step, the train_state must be on disk
+    BEFORE the eval runs: the eval's first call compiles fresh programs,
+    and on the remote-compile tunnel a compile can wedge until the process
+    is killed — the retry must resume from the eval boundary, not step 0."""
+    cfg, params = tiny
+    hp = Stage1Hparams(total_steps=4, logging_steps=0, eval_steps=2,
+                       save_steps=2, use_constraint=False)
+
+    def wedged_eval(*a, **k):
+        raise RuntimeError("simulated wedged eval compile")
+
+    from repconc_tpu.eval import pipeline as eval_pipeline
+    monkeypatch.setattr(eval_pipeline, "evaluate_repconc_model", wedged_eval)
+    monkeypatch.setattr(eval_pipeline, "evaluate_dense_model", wedged_eval)
+
+    def batches():
+        while True:
+            yield make_batch(rng)
+
+    valid_set = ({"d0": "doc"}, {"q0": "query"}, {"q0": {"d0": 1}})
+    with pytest.raises(RuntimeError, match="simulated"):
+        stage1.train(cfg, params, batches(), hp, str(tmp_path),
+                     valid_set=valid_set)
+    import json
+    meta = json.load(open(tmp_path / "checkpoint" / "trainer_meta.json"))
+    assert meta["step"] == 2  # saved AT the eval step, before the eval ran
+    assert (tmp_path / "checkpoint" / "train_state.msgpack").exists()
+
+
 def test_train_resumes_fresh_on_corrupt_state(tiny, rng, tmp_path):
     """A truncated train_state.msgpack (killed run) must restart training
     from step 0 with a warning — not raise on every retry of an unattended
