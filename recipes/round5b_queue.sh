@@ -136,6 +136,17 @@ MSE_WEIGHT=0.01
 EOF
 }
 make_e2e_env
+# Reset-proofing: if a prior session already trained + gated the feed
+# model, restore it from the repo artifact instead of retraining (the
+# gate was measured before the tarball was committed — see feed_gate).
+PERSIST="${HERE}/persist_artifacts.sh"
+E2E_BEST="${WS3}/experiments/synth/m48-e2e/conc/best"
+if [ ! -f "${WS}/.done_e2e_conc7" ] \
+    && bash "${PERSIST}" restore r5_m48e2e_conc_best "${E2E_BEST}"; then
+  touch "${WS}/.done_e2e_shared" "${WS}/.done_e2e_conc7" \
+        "${WS}/.done_feed_gate"
+  note "e2e feed model restored from repo artifact (gate carried over)"
+fi
 step e2e_shared bash "${PIPE}" "${WS3}/m48_e2e.env" 2 3 4 5 6
 step e2e_conc7 bash "${PIPE}" "${WS3}/m48_e2e.env" 7
 
@@ -154,6 +165,9 @@ assert rmses and rmses[-1] < 4.0, "norm inflation persists"
 PY
 }
 step feed_gate feed_gate
+# only a gate-passing model is worth persisting
+[ -f "${WS}/.done_feed_gate" ] \
+  && bash "${PERSIST}" save r5_m48e2e_conc_best "${E2E_BEST}"
 
 # ---- 4. one-command 8.8M end-to-end (waits for the background datagen) ----
 e2e_model() {
@@ -199,6 +213,16 @@ step scale_1m python recipes/bench_ivf_scale.py \
   --serving adc,decoded,decoded_int8
 step scale_8m8a python recipes/bench_ivf_scale.py \
   --nprobes 16,64,128 --batches 1200 --serving all
+
+# persist bench logs (small text) so measured tables survive a reset
+mkdir -p "${REPO}/docs/bench_r5"
+for b in depth1_headline scale_8m8b qtg_sweep scale_1m scale_8m8a \
+         e2e_8m8 e2e_decoded_int8; do
+  [ -f "${WS}/log_${b}.txt" ] && cp "${WS}/log_${b}.txt" "${REPO}/docs/bench_r5/"
+done
+cd "${REPO}"
+git add docs/bench_r5 > /dev/null 2>&1
+git diff --cached --quiet || git commit -q -m "bench r5: persist measured bench logs (auto)"
 
 if [ "${FAILED}" = 0 ]; then
   note "queue complete"
