@@ -68,6 +68,24 @@ cd "${REPO}"
 WS3=/root/ws3
 WS4=/root/ws4
 
+# persist measured outputs (small text) so they survive a host reset
+persist_logs() {
+  mkdir -p "${REPO}/docs/round5c"
+  for f in "${WS}"/log_*.txt; do [ -f "$f" ] && cp "$f" "${REPO}/docs/round5c/"; done
+  for mm in 4 12; do
+    for leg in "m${mm}/opq_index/dev" "m${mm}-lowmse/conc_index/dev" \
+               "m${mm}/jpq_only_index/dev"; do
+      mp="${WS3}/experiments/synth/${leg}/metric.json"
+      [ -f "${mp}" ] && cp "${mp}" \
+        "${REPO}/docs/round5c/$(echo "${leg}" | tr / _).json"
+    done
+  done
+  cd "${REPO}"
+  git add docs/round5c > /dev/null 2>&1
+  git diff --cached --quiet \
+    || git commit -q -m "round5c: persist measured logs/metrics (auto)"
+}
+
 # ---- 1. hardware kernel suite (the Mosaic-risk subset first: ~45 min
 #         vs hours for the full suite; full suite is the last stretch) ----
 step tpu_kernel_suite timeout 5400 env REPCONC_TEST_TPU=1 \
@@ -113,8 +131,10 @@ if [ -f /root/ws5b/.done_e2e_shared ]; then
     ln -sfn "../m${MM}/warmup_model" \
       "${WS3}/experiments/synth/m${MM}-lowmse/warmup_model"
     step "m${MM}_lowmse" bash "${PIPE}" "${WS3}/m${MM}_lowmse.env" 7 8
+    persist_logs
   done
   step m4_jpq_only bash "${PIPE}" "${WS3}/m4.env" jpq-train jpq-eval
+  persist_logs
 else
   note "ws3 shared artifacts missing (round5b e2e_shared not done) — m-legs skipped"
 fi
@@ -122,6 +142,8 @@ fi
 # ---- 3. stretch: the FULL suite on the chip ----
 step tpu_pytest_full timeout 10800 env REPCONC_TEST_TPU=1 \
   python -m pytest tests/ -q
+
+persist_logs
 
 if [ "${FAILED}" = 0 ]; then
   note "queue complete"
