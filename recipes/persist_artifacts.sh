@@ -27,8 +27,10 @@ case "${MODE}" in
     git add -f "artifacts/${TAG}.tar" > /dev/null
     # Commit only if the tarball actually changed (tar of identical tree
     # differs in mtimes; that is fine — a changed model must re-commit).
-    if ! git diff --cached --quiet; then
-      git commit -q -m "artifacts: persist ${TAG} ($(du -h "${TAR}" | cut -f1 | tr -d ' '))"
+    # pathspec commit: never sweep up files another process has staged
+    if ! git diff --cached --quiet -- "artifacts/${TAG}.tar"; then
+      git commit -q -m "artifacts: persist ${TAG} ($(du -h "${TAR}" | cut -f1 | tr -d ' '))" \
+        -- "artifacts/${TAG}.tar"
       echo "persist: committed ${TAG}"
     else
       echo "persist: ${TAG} unchanged"
